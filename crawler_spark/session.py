@@ -1,0 +1,80 @@
+"""SparkSession factory tuned for the frontier engine.
+
+Local-mode testing uses ``local[N]`` threads, but every knob here is chosen
+for a multi-executor cluster at 100 TB: AQE for runtime re-planning (skew
+joins, partition coalescing), Arrow for the vectorized Python boundary,
+UTC session time for oracle comparability, and shuffle partitions sized to
+the parallelism level rather than the Spark default of 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "tune_session"]
+
+
+def get_spark(
+    app_name: str = "crawler_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_mem: str | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or 32 (sandbox local mode).
+    ``shuffle_partitions`` defaults to 2x cores: small enough for local
+    testing, and the ratio (not the absolute) is what transfers to a
+    cluster where it would be set to ~2-3x total executor cores.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+    driver_mem = driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tune_session(spark)
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configuration to any session (including the
+    driver-provided one in ``__spark_entry__``).
+
+    Everything here is a runtime conf: safe to set after JVM start.
+    """
+    conf = {
+        # Oracle comparability: DuckDB timestamps are UTC-naive.
+        "spark.sql.session.timeZone": "UTC",
+        # Arrow transfer for pandas UDFs / toPandas — the only sanctioned
+        # Python boundary in this engine (no per-row Python UDFs).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Bound Arrow batch memory when rows carry binary image payloads
+        # (10KB-1MB each): 2k rows/batch keeps batches << executor memory.
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+        # AQE: coalesce post-shuffle partitions, split skewed ones. At
+        # 100TB this is what survives hot-host (Zipf) skew at runtime.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Runtime bloom-filter join: accelerates the seen-set anti-join.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # ANSI off: null-on-overflow/cast semantics match the reference's
+        # try/except parsing (SURVEY.md C15) and DuckDB's TRY_CAST usage.
+        "spark.sql.ansi.enabled": "false",
+    }
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on some builds — best effort
+    return spark
