@@ -1,0 +1,175 @@
+"""Deduplication operators for a web-scale corpus.
+
+All operators are generic ``DataFrame -> DataFrame`` transforms built from
+native column algebra (whole-stage codegen) plus at most one shuffle each —
+designed so the same plan works on 500 rows and on 100 TB:
+
+* exact dedupe        — one hash-shuffle on the content hash;
+* MinHash + LSH       — per-row signatures (zero shuffle) -> explode bands
+                        -> one equi-join on (band_idx, band_key): candidate
+                        generation never goes quadratic;
+* SimHash             — per-row, zero shuffle, 16-bit (parameterizable);
+* n-gram Jaccard      — verification on *candidate pairs only*.
+
+MinHash family: h_j(shingle) = md5('k{j}' || shingle) (string min). md5 is
+available and bit-identical in every engine, which keeps the whole pipeline
+oracle-checkable; swapping in xxhash64 for production speed is a one-line
+change (the operator takes ``hash_fn``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+# ---------------------------------------------------------------------------
+# Exact dedupe — first-discovery-wins (reference: UNIQUE(url) upsert,
+# database_service.py:48,98-106; per-page set() link_extractor.py:33).
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content hash. One shuffle."""
+    w = W.partitionBy("_h").orderBy(id_col)
+    return (
+        df.withColumn("_h", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash signatures — pure per-row column algebra.
+# ---------------------------------------------------------------------------
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles as an array<string> (empty if < n tokens)."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _minhash_col(shingles: Column, j: int) -> Column:
+    # NB: the seed must be bound *outside* the lambda — a `j=j` default
+    # param would make PySpark treat it as an (element, index) lambda.
+    seed = f"k{j}"
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(seed), s)))
+    ).alias(f"mh{j}")
+
+
+def minhash_signature(shingles: Column, k: int = 6) -> list[Column]:
+    """k min-hashes over a shingle array: min_j md5('k{j}' || shingle)."""
+    return [_minhash_col(shingles, j) for j in range(k)]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 6,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (a, b) with a < b.
+
+    signatures (narrow) -> explode to (id, band_idx, band_key) -> self
+    equi-join on the band. The join key includes band_idx so the shuffle
+    partitioner spreads bands; at scale the band tables are bucketable.
+    """
+    n_bands = k // band_size
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        *minhash_signature(word_shingles(F.col(text_col), shingle_n), k),
+    ).where(F.col("mh0").isNotNull())
+    bands = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat(
+                                *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_idx", "band.band_key")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — per-row, zero shuffle. Bit i comes from hex digit i of
+# md5(token): digit >= 8 contributes +1 else -1; simhash bit = sum > 0.
+# ---------------------------------------------------------------------------
+HEX = "0123456789abcdef"
+
+
+def _simhash_bit_sum(toks: Column, i: int) -> Column:
+    pos = i + 1  # bound outside the lambda (see _minhash_col note)
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc
+        + F.when(
+            F.instr(F.lit(HEX), F.substring(F.md5(t), pos, 1)) - 1 >= 8, 1
+        ).otherwise(-1),
+    )
+
+
+def simhash16(text: Column) -> Column:
+    toks = F.array_distinct(F.split(text, " "))
+    total = F.lit(0)
+    for i in range(16):
+        total = total + F.when(_simhash_bit_sum(toks, i) > 0, F.lit(2**i)).otherwise(0)
+    return total.cast("int")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification over candidate pairs.
+# ---------------------------------------------------------------------------
+def jaccard_counts(tokens_a: Column, tokens_b: Column) -> tuple[Column, Column]:
+    """(intersection size, union size) of two distinct-token arrays —
+    integer outputs, engine-exact."""
+    inter = F.size(F.array_intersect(tokens_a, tokens_b))
+    union = F.size(F.array_distinct(F.concat(tokens_a, tokens_b)))
+    return inter, union
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Join candidate pairs back to the corpus and compute exact Jaccard
+    counts. Two equi-joins on the doc id (broadcast if docs is small)."""
+    t = docs.select(
+        F.col(id_col).alias("_jid"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("_toks"),
+    )
+    a = t.select(F.col("_jid").alias("id_a"), F.col("_toks").alias("toks_a"))
+    b = t.select(F.col("_jid").alias("id_b"), F.col("_toks").alias("toks_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter, union = jaccard_counts(F.col("toks_a"), F.col("toks_b"))
+    return joined.select(
+        "id_a", "id_b", inter.alias("n_intersect"), union.alias("n_union")
+    )

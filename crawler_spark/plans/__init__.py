@@ -3,3 +3,4 @@ from .registry import QUERIES, ORACLES, register  # noqa: F401
 # Importing the plan modules registers their queries.
 from . import relational  # noqa: F401,E402
 from . import frontier_queries  # noqa: F401,E402
+from . import pipeline_queries  # noqa: F401,E402

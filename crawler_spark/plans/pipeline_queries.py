@@ -1,0 +1,388 @@
+"""Training-data pipeline queries: dedup, similarity, text analysis over
+the documents/embeddings testdata — each paired with a DuckDB oracle.
+
+These wrap the generic operators in crawler_spark.operators.{dedup,
+similarity} and crawler_spark.functions.text; the oracle SQL restates the
+same math in ANSI SQL (md5-based hash family keeps both engines
+bit-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..sources.testdata import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Exact dedupe stats (hash-groupBy).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dup_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+    FROM documents
+    """,
+)
+def exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates (k=6 hashes, 3 bands of 2, 3-shingles).
+# ---------------------------------------------------------------------------
+
+_MH_SQL = ", ".join(
+    "list_aggregate(list_transform(sh, s -> md5('k{j}' || s)), 'min') AS mh{j}".format(j=j)
+    for j in range(6)
+)
+
+_LSH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(l) - 1),
+                        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS sh
+  FROM toks WHERE len(l) >= 3
+), sig AS (
+  SELECT doc_id, {mh} FROM sh
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+  UNION ALL
+  SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r
+  ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+ AND l.doc_id < r.doc_id
+""".format(mh=_MH_SQL)
+
+
+@register("minhash_lsh_pairs", oracle=_LSH_ORACLE)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_candidates(d, "doc_id", "text", k=6, band_size=2)
+
+
+# ---------------------------------------------------------------------------
+# n-gram (token-set) Jaccard verification over LSH candidates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lsh_jaccard_verify",
+    oracle="""
+    WITH cand AS ({lsh}),
+    toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(a.t, b.t)) AS n_intersect,
+           len(list_distinct(list_concat(a.t, b.t))) AS n_union
+    FROM cand c JOIN toks a ON c.id_a = a.doc_id
+                JOIN toks b ON c.id_b = b.doc_id
+    """.format(lsh=_LSH_ORACLE),
+)
+def lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_candidates(d, "doc_id", "text", k=6, band_size=2)
+    return DD.verify_pairs_jaccard(pairs, d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Bounded-window pairwise Jaccard (the quadratic baseline, on a bounded
+# slice — models the reference's in-batch set() dedupe exactly).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.t, b.t)) AS n_intersect,
+           len(list_distinct(list_concat(a.t, b.t))) AS n_union
+    FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    t = d.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+    a = t.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+        F.col("t").alias("ta"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("t").alias("tb"),
+    )
+    inter, union = DD.jaccard_counts(F.col("ta"), F.col("tb"))
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a", "id_b", inter.alias("n_intersect"), union.alias("n_union")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-digit family) — per-row, zero shuffle.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BIT_SQL = " + ".join(
+    "(CASE WHEN list_aggregate(list_transform(t, tok -> "
+    "CASE WHEN strpos('0123456789abcdef', substring(md5(tok), {pos}, 1)) - 1 >= 8 "
+    "THEN 1 ELSE -1 END), 'sum') > 0 THEN {weight} ELSE 0 END)".format(
+        pos=i + 1, weight=2**i
+    )
+    for i in range(16)
+)
+
+
+@register(
+    "simhash16",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT doc_id, CAST({bits} AS INT) AS simhash FROM toks
+    """.format(bits=_SIMHASH_BIT_SQL),
+)
+def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", DD.simhash16(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine top-k (exact brute force — the ANN baseline).
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_aggregate(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')"
+)
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id AS n_id, embedding AS nv FROM embeddings
+    ), scored AS (
+      SELECT q_id, n_id,
+             {dot_qn} / (sqrt({dot_qq}) * sqrt({dot_nn})) AS cos
+      FROM c, q WHERE q_id <> n_id
+    )
+    SELECT q_id, n_id, CAST(rank AS INT) AS rank, ROUND(cos, 4) AS cos_sim
+    FROM (
+      SELECT q_id, n_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """.format(
+        dot_qn=_DOT.format(a="qv", b="nv"),
+        dot_qq=_DOT.format(a="qv", b="qv"),
+        dot_nn=_DOT.format(a="nv", b="nv"),
+    ),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5)
+    return SIM.cosine_topk(e, queries, "vec_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the scale path (pandas-UDF hyperplane signatures).
+# Not SQL-expressible (seeded numpy hyperplanes) -> rows-only check.
+# ---------------------------------------------------------------------------
+
+
+@register("embedding_ann_lsh", oracle=None)
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5)
+    return SIM.lsh_ann_topk(e, queries, "vec_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language ID, quality score, token counts, fingerprints.
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "('the', 'a', 'and', 'of', 'to', 'in', 'is')"
+
+
+@register(
+    "lang_id_heuristic",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN 10 * len(list_filter(toks, x -> x IN {stop})) >= len(toks)
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM t
+    """.format(stop=_STOP_SQL),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST((CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 3 ELSE 0 END)
+              + (CASE WHEN 10 * len(list_filter(toks, x -> x IN {stop})) >= len(toks)
+                      THEN 2 ELSE 0 END)
+              + (CASE WHEN len(toks) >= 30 THEN 1 ELSE 0 END) AS INT) AS quality
+    FROM t
+    """.format(stop=_STOP_SQL),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.quality_score(F.col("text"), F.col("n_chars")).alias("quality")
+    )
+
+
+@register(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_ws_tokens"),
+        TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(text, '[^a-z0-9]+', '', 'g')) AS fp_full,
+           list_aggregate(
+             list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                            i -> md5(substring(text, i, 8))), 'min') AS fp_min8
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fp_full"),
+        TX.min_kgram_fingerprint("text", 8).alias("fp_min8"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9 — blocked-content substring filter (html_downloader.py:255-278): drop
+# documents whose head contains any indicator token.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "blocked_content_filter",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE NOT (contains(substring(text, 1, 200), 'spark')
+               OR contains(substring(text, 1, 200), 'vector'))
+    """,
+)
+def blocked_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    head = F.substring(F.col("text"), 1, 200)
+    return d.where(
+        ~(head.contains("spark") | head.contains("vector"))
+    ).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L — streaming-shaped aggregations over events: tumbling hour + sessions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_tumbling_agg",
+    oracle="""
+    SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
+    return (
+        e.groupBy(F.unix_millis(hour).alias("hour_ms"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(1 + SUM(new_session) AS INT) AS n_sessions
+    FROM gaps GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ts_ms - F.lag(ts_ms).over(w)
+    return (
+        e.withColumn("new_session", F.when(gap > 1800000, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((1 + F.sum("new_session")).cast("int").alias("n_sessions"))
+    )
