@@ -1,0 +1,98 @@
+"""Benchmark entrypoint (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric follows BASELINE.json's north rule: frontier URLs
+scheduled+deduped per second in one full scheduling round (dedupe ->
+politeness -> per-host top-k -> fetch ordering), measured over a synthetic
+frontier expansion scaled from the sf directory, plus per-query wall times
+for the oracle-checked plan suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crawler_spark.session import get_spark  # noqa: E402
+from crawler_spark.plans import QUERIES  # noqa: E402
+
+# Queries timed individually (a representative spread: frontier ops,
+# relational/API queries, pipeline/dedup ops). Keys must exist in QUERIES.
+HEADLINE = [
+    "frontier_round_schedule",
+    "url_canonicalize",
+    "relevance_filter",
+    "robots_gate",
+    "heatmap_grid",
+    "similar_properties",
+    "top_domains",
+    "minhash_lsh_pairs",
+    "embedding_cosine_topk",
+    "token_counts",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("crawler_spark_bench", cores=cores)
+
+    # Warm the JVM + parquet footers once so timings measure the plans.
+    from crawler_spark.sources.testdata import load_table
+
+    load_table(spark, sf_dir, "orders").count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    # North-rule headline: one frontier scheduling round over a synthetic
+    # expansion (~4M candidate URLs at sf0.1-equivalent scale), reporting
+    # URLs scheduled+deduped per second.
+    from crawler_spark.frontier.bench_round import frontier_round_throughput
+
+    n_urls, round_sec = frontier_round_throughput(spark, scale=_sf_of(sf_dir))
+    urls_per_sec = n_urls / round_sec if round_sec > 0 else 0.0
+
+    total = round(sum(per_query.values()) + round_sec, 4)
+    print(
+        json.dumps(
+            {
+                "metric": "frontier_urls_scheduled_deduped_per_sec",
+                "value": round(urls_per_sec, 1),
+                "unit": "sec",
+                "total_sec": total,
+                "round_sec": round(round_sec, 4),
+                "round_urls": n_urls,
+                "queries": per_query,
+                "sf": _sf_of(sf_dir),
+                "cores": cores,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,250 @@
+"""The scheduling round as a pure DataFrame job (north rule).
+
+One round = dedupe -> robots -> politeness budget (salted per-host top-k)
+-> fetch join -> link expansion -> first-discovery-wins enqueue -> retry /
+DLQ routing -> metrics. No per-row Python anywhere: every step is native
+Catalyst expressions (whole-stage codegen) except the optional Bloom
+pre-filter sidecar (Arrow-batched, bloom.py).
+
+Scale design (100 TB / 10^10-URL frontier):
+- The only shuffles per round are (a) the per-host top-k window (two-phase,
+  salted — hot hosts can't pin a partition), (b) the fetch join on url,
+  and (c) the anti-join against `seen`. (b)+(c) are equi-joins AQE can
+  re-plan; the `seen` anti-join is additionally cut by a runtime bloom
+  filter (session.py enables spark.sql.optimizer.runtime.bloomFilter) and
+  by the explicit partitioned bloom sidecar (bloom.py).
+- Dedupe identity is the exact URL string — hashes are only order keys —
+  so collisions can never corrupt the seen-set.
+- State tables are re-derived per round and checkpointed (store.py round
+  snapshots with atomic manifests = the Iceberg-MERGE-per-round seam of
+  SURVEY.md §4.3(3)).
+
+Reference parity: worker.py:348-456 loop; semantics frozen in spec.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from . import spec
+
+# frontier schema (spec step "Frontier row")
+FRONTIER_COLS = ["url", "host_id", "priority", "disc_round", "retry_count", "eligible_round"]
+FETCH_LOG_COLS = ["round", "priority", "host_id", "url", "seq"]
+
+
+@dataclass
+class CrawlState:
+    """In-memory crawl state between rounds (store.py persists it)."""
+
+    frontier: DataFrame          # queued rows only
+    seen: DataFrame              # (url) — every URL ever enqueued
+    fetch_log: list[DataFrame] = field(default_factory=list)
+    pages: list[DataFrame] = field(default_factory=list)
+    dlq: list[DataFrame] = field(default_factory=list)
+    metrics: list[dict] = field(default_factory=list)
+
+
+def enqueue(
+    links: DataFrame,
+    seen: DataFrame,
+    robots: DataFrame,
+    disc_round: int,
+    seen_bloom=None,
+) -> DataFrame:
+    """Shared enqueue path (spec step 5) for seeds and discovered links.
+
+    links: DataFrame with a single `url` column (already DISTINCT).
+    Returns new frontier rows; caller unions them into frontier and seen.
+    """
+    url = F.col("url")
+    candidates = (
+        links.where(spec.is_valid_link(url) & spec.is_relevant(url))
+        .select(
+            url,
+            spec.host_id_of_url(url).alias("host_id"),
+            spec.priority_of(url).alias("priority"),
+            F.lit(disc_round).cast("int").alias("disc_round"),
+            F.lit(0).cast("int").alias("retry_count"),
+            F.lit(disc_round).cast("int").alias("eligible_round"),
+        )
+        .where(F.col("priority") != -1)  # B7 drop unmapped
+    )
+    # robots gate at enqueue — tiny dim, broadcast (J6); null => allowed
+    gated = (
+        candidates.join(F.broadcast(robots), "host_id", "left")
+        .where(F.col("disallow").isNull() | ~url.contains(F.col("disallow")))
+        .drop("disallow")
+    )
+    if seen_bloom is not None:
+        # approximate pre-filter (D1): drops most already-seen URLs before
+        # the shuffle; exact anti-join below restores exactness.
+        gated = seen_bloom.prefilter(gated, "url")
+    # first-discovery-wins: exact anti-join against every URL ever enqueued
+    return gated.join(seen.select("url"), "url", "left_anti")
+
+
+def schedule_batch(
+    frontier: DataFrame,
+    round_no: int,
+    k_per_host: int,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Politeness-budget fetch batch: per-host top-k by the frozen order
+    key, two-phase with salting so a hot host (Zipf head) never serializes
+    into one task (SURVEY.md E2/E4, §4.3(2)).
+
+    Phase 1 ranks within (host, salt) — salt from xxhash64(url) spreads a
+    hot host over `salt_buckets` tasks; each keeps a local top-k. Phase 2
+    ranks the <= k*salt_buckets survivors per host globally. The global
+    top-k is always contained in the union of per-salt top-k's.
+    """
+    eligible = frontier.where(F.col("eligible_round") <= round_no)
+    okey = spec.order_key(F.col("priority"), F.col("disc_round"), F.col("url"))
+
+    salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+    w_local = W.partitionBy("host_id", "salt").orderBy(*okey)
+    local = (
+        eligible.withColumn("salt", salt)
+        .withColumn("lr", F.row_number().over(w_local))
+        .where(F.col("lr") <= k_per_host)
+        .drop("lr")
+    )
+    w_host = W.partitionBy("host_id").orderBy(*okey)
+    return (
+        local.withColumn("seq", F.row_number().over(w_host).cast("int"))
+        .where(F.col("seq") <= k_per_host)
+        .drop("salt")
+    )
+
+
+def run_round(
+    spark: SparkSession,
+    state: CrawlState,
+    web: DataFrame,
+    robots: DataFrame,
+    round_no: int,
+    k_per_host: int,
+    max_retries: int = spec.MAX_RETRIES,
+    seen_bloom=None,
+    collect_metrics: bool = True,
+) -> tuple[CrawlState, DataFrame]:
+    """Execute one scheduling round (spec steps 1-8). Returns (state', batch).
+
+    Everything is lazy; the caller materializes via store.commit() or
+    localCheckpoint — exactly one materialization boundary per round.
+    """
+    batch = schedule_batch(state.frontier, round_no, k_per_host)
+
+    # 3. fetch = join against the synthetic web (J7). Equi-join on url;
+    # AQE picks SMJ/shuffled-hash and splits skew at runtime.
+    fetched = batch.join(
+        web.select("url", "page_id", "kind", "status", "outlinks", "image_id"),
+        "url",
+        "inner",
+    )
+    ok = fetched.where(F.col("status") == 200)
+    failed = fetched.where(F.col("status") != 200)
+
+    # 4. golden fetch-order log + pages
+    log_delta = batch.select(
+        F.lit(round_no).cast("int").alias("round"),
+        "priority", "host_id", "url", "seq",
+    )
+    pages_delta = ok.select(
+        F.lit(round_no).cast("int").alias("round"),
+        "url", "page_id", "kind", "image_id", "priority", "host_id", "seq",
+    )
+
+    # 5. link expansion -> enqueue
+    links = ok.select(F.explode("outlinks").alias("url")).dropDuplicates(["url"])
+    new_rows = enqueue(links, state.seen, robots, round_no, seen_bloom=seen_bloom)
+
+    # 6. retry / DLQ routing (E5: eligible_round = r + 2^retry_count)
+    failed_next = failed.select(
+        "url", "host_id", "priority", "disc_round",
+        (F.col("retry_count") + 1).cast("int").alias("retry_count"),
+        (F.lit(round_no) + F.pow(F.lit(2), F.col("retry_count")).cast("int"))
+        .cast("int").alias("eligible_round"),
+    )
+    requeue = failed_next.where(F.col("retry_count") <= max_retries)
+    dlq_delta = failed_next.where(F.col("retry_count") > max_retries).select(
+        F.lit(round_no).cast("int").alias("round"), *FRONTIER_COLS
+    )
+
+    # 7. frontier' = (frontier - batch) ∪ new ∪ requeues ; seen' ∪= new
+    frontier_next = (
+        state.frontier.join(batch.select("url"), "url", "left_anti")
+        .select(*FRONTIER_COLS)
+        .unionByName(new_rows.select(*FRONTIER_COLS))
+        .unionByName(requeue.select(*FRONTIER_COLS))
+    )
+    seen_next = state.seen.select("url").unionByName(new_rows.select("url"))
+
+    state.fetch_log.append(log_delta)
+    state.pages.append(pages_delta)
+    state.dlq.append(dlq_delta)
+
+    if collect_metrics:
+        # 8. per-round metrics + per-partition lineage (F1/F5). One extra
+        # pass over the (small) batch; counts of big tables reuse cached
+        # state from the caller's checkpoint.
+        m = batch.agg(
+            F.count("*").alias("n_batch"),
+            F.countDistinct("host_id").alias("n_hosts"),
+            F.sum((F.col("retry_count") > 0).cast("int")).alias("n_retried"),
+        ).collect()[0]
+        state.metrics.append(
+            {
+                "round": round_no,
+                "n_batch": m["n_batch"],
+                "n_hosts": int(m["n_hosts"]),
+                "n_retried": int(m["n_retried"] or 0),
+            }
+        )
+
+    return CrawlState(frontier_next, seen_next, state.fetch_log, state.pages,
+                      state.dlq, state.metrics), batch
+
+
+def run_crawl(
+    spark: SparkSession,
+    web: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame,
+    rounds: int,
+    k_per_host: int,
+    collect_metrics: bool = False,
+) -> CrawlState:
+    """In-memory multi-round crawl (store.py has the checkpointed variant).
+
+    localCheckpoint truncates the lineage each round — without it the plan
+    for round r contains r copies of the whole DAG (iterative-algorithm
+    pitfall).
+    """
+    empty_seen = seeds.select("url").limit(0)
+    first = enqueue(seeds.select("url").dropDuplicates(["url"]), empty_seen,
+                    robots, disc_round=0)
+    state = CrawlState(
+        frontier=first.select(*FRONTIER_COLS).localCheckpoint(eager=True),
+        seen=first.select("url").localCheckpoint(eager=True),
+    )
+    for r in range(1, rounds + 1):
+        state, _ = run_round(spark, state, web, robots, r, k_per_host,
+                             collect_metrics=collect_metrics)
+        state.frontier = state.frontier.localCheckpoint(eager=True)
+        state.seen = state.seen.localCheckpoint(eager=True)
+        state.fetch_log[-1] = state.fetch_log[-1].localCheckpoint(eager=True)
+        state.pages[-1] = state.pages[-1].localCheckpoint(eager=True)
+        state.dlq[-1] = state.dlq[-1].localCheckpoint(eager=True)
+    return state
+
+
+def fetch_log_df(state: CrawlState) -> DataFrame:
+    out = state.fetch_log[0]
+    for d in state.fetch_log[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1,0 +1,178 @@
+"""Round-snapshot warehouse: atomic per-round commits + resume.
+
+This is the offline stand-in for Iceberg (SURVEY.md §4.3(3), §7 step 0 —
+no Iceberg runtime jar is available in the sandbox): each round writes its
+state/delta tables to ``wh/<table>/r{N:05d}/`` as parquet and then writes a
+tiny manifest ``wh/_commits/r{N}.json`` LAST. Readers only ever look at
+tables named by a manifest, so a crash mid-round leaves garbage files but
+no visible partial state — the same atomic-visibility + time-travel
+contract as an Iceberg snapshot commit. On a real cluster the store maps
+1:1 onto `MERGE INTO` against Iceberg `frontier`/`seen`/`pages` tables.
+
+Layout:
+  wh/_commits/r00003.json      <- commit manifest (written last)
+  wh/frontier/r00003/*.parquet <- full queued-set snapshot at round 3
+  wh/seen/r00003/*.parquet     <- full seen-set snapshot
+  wh/fetch_log/r00003/         <- per-round delta (append-only log)
+  wh/pages/r00003/             <- per-round delta
+  wh/dlq/r00003/               <- per-round delta
+  wh/metrics/r00003/           <- per-round metrics + lineage rows
+
+Resume = read the highest manifest, load its state snapshots, continue at
+round N+1 (north rule: resumable from checkpoint, any round).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .engine import FRONTIER_COLS, CrawlState, enqueue, run_round
+
+STATE_TABLES = ("frontier", "seen")
+DELTA_TABLES = ("fetch_log", "pages", "dlq", "metrics")
+
+
+class RoundStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
+
+    # -- commit protocol ---------------------------------------------------
+
+    def _dir(self, table: str, round_no: int) -> str:
+        return os.path.join(self.root, table, f"r{round_no:05d}")
+
+    def _manifest(self, round_no: int) -> str:
+        return os.path.join(self.root, "_commits", f"r{round_no:05d}.json")
+
+    def commit(self, round_no: int, tables: dict[str, DataFrame],
+               extra: dict | None = None) -> None:
+        """Write all tables, then the manifest — atomic visibility."""
+        written = {}
+        for name, df in tables.items():
+            path = self._dir(name, round_no)
+            df.write.mode("overwrite").parquet(path)
+            written[name] = path
+        manifest = {
+            "round": round_no,
+            "tables": written,
+            "committed_at": time.time(),
+            **(extra or {}),
+        }
+        tmp = self._manifest(round_no) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest(round_no))  # atomic rename
+
+    def committed_rounds(self) -> list[int]:
+        d = os.path.join(self.root, "_commits")
+        return sorted(
+            int(f[1:6]) for f in os.listdir(d)
+            if f.startswith("r") and f.endswith(".json")
+        )
+
+    def latest_round(self) -> int | None:
+        rs = self.committed_rounds()
+        return rs[-1] if rs else None
+
+    def read(self, table: str, round_no: int) -> DataFrame:
+        return self.spark.read.parquet(self._dir(table, round_no))
+
+    def read_deltas(self, table: str, upto: int | None = None) -> DataFrame:
+        """Union of a delta table across all committed rounds (time travel:
+        pass ``upto`` for the view as of that round)."""
+        rounds = [r for r in self.committed_rounds() if upto is None or r <= upto]
+        paths = [self._dir(table, r) for r in rounds
+                 if os.path.isdir(self._dir(table, r))]
+        return self.spark.read.parquet(*paths)
+
+
+# -- checkpointed crawl loop ----------------------------------------------
+
+def init_crawl(store: RoundStore, seeds: DataFrame, robots: DataFrame) -> None:
+    """Round 0: enqueue seeds through the standard path and commit."""
+    spark = store.spark
+    empty_seen = seeds.select("url").limit(0)
+    first = enqueue(seeds.select("url").dropDuplicates(["url"]), empty_seen,
+                    robots, disc_round=0)
+    empty_log = spark.createDataFrame(
+        [], "round int, priority int, host_id int, url string, seq int")
+    store.commit(0, {
+        "frontier": first.select(*FRONTIER_COLS),
+        "seen": first.select("url"),
+        "fetch_log": empty_log,
+        "pages": spark.createDataFrame(
+            [], "round int, url string, page_id long, kind string, "
+                "image_id long, priority int, host_id int, seq int"),
+        "dlq": spark.createDataFrame(
+            [], "round int, url string, host_id int, priority int, "
+                "disc_round int, retry_count int, eligible_round int"),
+        "metrics": spark.createDataFrame(
+            [(0, 0, 0, 0, 0)],
+            "round int, n_batch long, n_fetched long, n_parts long, "
+            "max_part_rows long"),
+    })
+
+
+def run_crawl_checkpointed(
+    store: RoundStore,
+    web: DataFrame,
+    robots: DataFrame,
+    rounds: int,
+    k_per_host: int,
+    seeds: DataFrame | None = None,
+) -> int:
+    """Run (or RESUME) a crawl to ``rounds`` total rounds. Each round reads
+    state from the last commit and writes one new commit — a crash between
+    commits loses nothing; rerunning is idempotent.
+
+    Returns the last committed round number.
+    """
+    spark = store.spark
+    last = store.latest_round()
+    if last is None:
+        if seeds is None:
+            raise ValueError("fresh store needs seeds")
+        init_crawl(store, seeds, robots)
+        last = 0
+
+    for r in range(last + 1, rounds + 1):
+        state = CrawlState(
+            frontier=store.read("frontier", r - 1),
+            seen=store.read("seen", r - 1),
+        )
+        state, batch = run_round(spark, state, web, robots, r, k_per_host,
+                                 collect_metrics=False)
+        # per-partition lineage (F1/F5): rows per shuffle partition of the
+        # batch — the skew signal a 1000-executor operator would alarm on.
+        lineage = (
+            batch.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .agg(
+                F.count("*").alias("n_parts"),
+                F.max("count").alias("max_part_rows"),
+                F.sum("count").alias("n_batch"),
+            )
+        )
+        fetched = state.pages[-1]
+        metrics = lineage.crossJoin(
+            fetched.agg(F.count("*").alias("n_fetched"))
+        ).select(
+            F.lit(r).alias("round"), "n_batch", "n_fetched",
+            "n_parts", "max_part_rows",
+        )
+        store.commit(r, {
+            "frontier": state.frontier,
+            "seen": state.seen,
+            "fetch_log": state.fetch_log[-1],
+            "pages": state.pages[-1],
+            "dlq": state.dlq[-1],
+            "metrics": metrics,
+        }, extra={"k_per_host": k_per_host})
+    return rounds

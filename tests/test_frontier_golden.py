@@ -1,0 +1,106 @@
+"""Golden frontier parity: the Spark engine must match the pure-Python
+reference-semantics simulator bit-for-bit on crawl ordering, seen-set,
+pages and DLQ (north rule; SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawler_spark.frontier import simulator, spec, synth
+from crawler_spark.frontier.engine import fetch_log_df, run_crawl
+
+N_PAGES = 2000
+N_HOSTS = 20
+N_SEEDS = 6
+ROUNDS = 4
+K = 2
+
+
+def test_synth_matches_simulator_formulas(spark):
+    """The Spark-native web generator and the Python formulas agree."""
+    web = synth.web_graph(spark, 300, N_HOSTS).orderBy("page_id").collect()
+    assert len(web) == 300
+    for row in web[:50] + web[250:]:
+        p = row.page_id
+        assert row.url == simulator.url_of(p, N_HOSTS)
+        assert row.host_id == simulator.host_id_of_page(p, N_HOSTS)
+        assert row.status == simulator.status_of(p)
+        assert list(row.outlinks) == simulator.outlinks(p, 300, N_HOSTS)
+        assert row.kind == ("listing" if p % 10 == 0 else "property")
+
+
+@pytest.fixture(scope="module")
+def crawl_pair(spark):
+    web = synth.web_graph(spark, N_PAGES, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, N_PAGES, N_SEEDS, N_HOSTS)
+    state = run_crawl(spark, web, seeds, robots, rounds=ROUNDS, k_per_host=K)
+    sim = simulator.simulate(N_PAGES, N_SEEDS, ROUNDS, K, N_HOSTS)
+    return state, sim
+
+
+def test_fetch_ordering_golden(crawl_pair):
+    state, sim = crawl_pair
+    got = sorted(
+        (r["round"], r["priority"], r["host_id"], r["url"], r["seq"])
+        for r in fetch_log_df(state).collect()
+    )
+    assert got == sorted(sim.fetch_log)
+    assert len(got) > 50  # the crawl actually expanded
+
+
+def test_seen_set_golden(crawl_pair):
+    state, sim = crawl_pair
+    got = {r["url"] for r in state.seen.collect()}
+    assert got == sim.seen
+
+
+def test_pages_golden(crawl_pair):
+    state, sim = crawl_pair
+    rows = []
+    for d in state.pages:
+        rows += [(r["round"], r["url"], r["page_id"]) for r in d.collect()]
+    assert sorted(rows) == sorted(sim.pages)
+
+
+def test_retry_and_dlq_golden(spark):
+    """With max_retries=1 a page failing twice lands in the DLQ; the engine
+    and simulator must agree on both requeue timing and DLQ content."""
+    from crawler_spark.frontier.engine import CrawlState, enqueue, run_round
+    from crawler_spark.frontier.engine import FRONTIER_COLS
+
+    n_pages, rounds, k = 3000, 6, 3
+    web = synth.web_graph(spark, n_pages, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, n_pages, 8, N_HOSTS)
+
+    empty_seen = seeds.select("url").limit(0)
+    first = enqueue(seeds.select("url"), empty_seen, robots, 0)
+    state = CrawlState(first.select(*FRONTIER_COLS).localCheckpoint(),
+                       first.select("url").localCheckpoint())
+    for r in range(1, rounds + 1):
+        state, _ = run_round(spark, state, web, robots, r, k,
+                             max_retries=1, collect_metrics=False)
+        state.frontier = state.frontier.localCheckpoint()
+        state.seen = state.seen.localCheckpoint()
+
+    sim = simulator.simulate(n_pages, 8, rounds, k, N_HOSTS, max_retries=1)
+    got_dlq = sorted(
+        (r["round"], r["url"]) for d in state.dlq for r in d.collect()
+    )
+    assert got_dlq == sorted(sim.dlq)
+    got_log = sorted(
+        (r["round"], r["priority"], r["host_id"], r["url"], r["seq"])
+        for d in state.fetch_log for r in d.collect()
+    )
+    assert got_log == sorted(sim.fetch_log)
+
+
+def test_robots_block_is_effective(crawl_pair):
+    state, sim = crawl_pair
+    blocked_hosts = {h for h in range(N_HOSTS)
+                     if h % spec.ROBOTS_MOD == spec.ROBOTS_REM}
+    for url in sim.seen:
+        h = simulator.host_id_of_url(url)
+        if h in blocked_hosts:
+            assert spec.ROBOTS_DISALLOW not in url
