@@ -1,0 +1,64 @@
+"""Headline benchmark: one full frontier scheduling round at scale.
+
+The north-rule metric is frontier URLs scheduled+deduped per second. This
+builds a candidate-link wave (with ~2x duplication and a Zipf-hot host
+head), a pre-existing seen-set of half the URL space, and runs the exact
+production round pipeline: validity+relevance filter -> in-wave dedupe ->
+robots gate -> exact anti-join vs seen -> priority assign -> salted
+per-host top-k. Input size scales linearly with ``scale`` (sf0.1 -> ~2M
+candidate URLs) and the job shape is identical at 10^10 — everything
+derives from spark.range, so the measured plan is the plan a cluster runs.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import spec
+from .engine import enqueue, schedule_batch
+from .synth import robots_dim
+
+URLS_PER_SF = 20_000_000  # sf0.1 -> 2M candidate URLs per round
+
+
+def _wave(spark: SparkSession, n: int, n_hosts: int) -> DataFrame:
+    """Candidate-link wave: n URLs over n//2 distinct pages (≈2x dups)."""
+    ids = spark.range(0, n)
+    p = (F.col("id") * 7 + 3) % (n // 2)
+    host = spec.host_id_of_page(p, n_hosts)
+    return ids.select(spec.url_of(p, host, p % 10 == 0).alias("url"))
+
+
+def _seen(spark: SparkSession, n: int, n_hosts: int) -> DataFrame:
+    """Pre-existing seen set: every even page id (half the space)."""
+    ids = spark.range(0, n // 2, 2)
+    p = F.col("id")
+    host = spec.host_id_of_page(p, n_hosts)
+    return ids.select(spec.url_of(p, host, p % 10 == 0).alias("url"))
+
+
+def frontier_round_throughput(
+    spark: SparkSession,
+    scale: float = 0.1,
+    n_hosts: int = 1000,
+    k_per_host: int = 64,
+) -> tuple[int, float]:
+    """Run one scheduling round over ~scale*20M candidate URLs; returns
+    (n_candidate_urls, wall_seconds)."""
+    n = max(int(scale * URLS_PER_SF), 200_000)
+    # materialize inputs first: the metric times the round pipeline, not
+    # the synthetic generator (and avoids AQE re-running the gen chain).
+    wave = _wave(spark, n, n_hosts).localCheckpoint(eager=True)
+    seen = _seen(spark, n, n_hosts).localCheckpoint(eager=True)
+    robots = robots_dim(spark, n_hosts)
+
+    t0 = time.perf_counter()
+    new_rows = enqueue(wave.dropDuplicates(["url"]), seen, robots, disc_round=1)
+    batch = schedule_batch(new_rows, round_no=1, k_per_host=k_per_host)
+    n_scheduled = batch.count()
+    dt = time.perf_counter() - t0
+    assert n_scheduled > 0
+    return n, dt

@@ -1,0 +1,205 @@
+"""Image+caption payload table (BASELINE input_hint):
+
+    images(image_id string, bytes binary, w int, h int, fmt string,
+           caption string, phash long)
+
+The reference stores raw image bytes as sha256-named files mirrored to S3
+(file_storage.py:279-293, worker.py:159-165); here the content store IS a
+table with a BinaryType column — no side files.
+
+Codec note: no image library (Pillow/ffmpeg) ships in this container, so
+the codec layer is a deterministic stand-in with REAL Spark plumbing
+(SURVEY.md input-hint contract; multimodal-stub pattern):
+
+- pixels are a pure function of (image_id, x, y) — no RNG, reproducible on
+  any executor;
+- fmt='rgb8'  : lossless — raw RGB24 after a 12-byte header; decode is
+  bit-exact;
+- fmt='qrgb6' : "lossy" — channels uniformly quantized to 6 bits
+  (step 4 -> MSE ~= 4^2/12 -> PSNR ~= 46.9 dB >= the 40 dB invariant);
+- real codecs (JPEG/PNG via Pillow) plug in behind ``_encode``/``_decode``
+  — the Spark-side schema, partitioning, Arrow batch shape and the PSNR
+  verification operator are the deliverable and are fully tested.
+
+All generation/verification runs in ``mapInPandas`` (Arrow-batched,
+iterator form) — binary payloads of 10KB-1MB/row are why session.py caps
+``arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HEADER = struct.Struct("<4sHHi")  # magic, w, h, reserved
+MAGIC_RAW = b"RGB8"
+MAGIC_Q6 = b"QRG6"
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+def _pixels(image_id: int, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB pixels: smooth gradients + id-dependent phase so
+    every image is distinct but bit-reproducible anywhere."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 3 + image_id * 7) % 256
+    g = (y * 5 + image_id * 13) % 256
+    b = (x + y + image_id) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _encode(px: np.ndarray, fmt: str) -> bytes:
+    h, w, _ = px.shape
+    if fmt == "rgb8":
+        return HEADER.pack(MAGIC_RAW, w, h, 0) + px.tobytes()
+    if fmt == "qrgb6":  # lossy: quantize to 6 bits/channel
+        q = (px >> 2).astype(np.uint8)
+        return HEADER.pack(MAGIC_Q6, w, h, 0) + q.tobytes()
+    raise NotImplementedError(f"codec {fmt!r} needs an image library")
+
+
+def _decode(buf: bytes) -> np.ndarray:
+    magic, w, h, _ = HEADER.unpack_from(buf)
+    body = np.frombuffer(buf, np.uint8, offset=HEADER.size).reshape(h, w, 3)
+    if magic == MAGIC_RAW:
+        return body
+    if magic == MAGIC_Q6:  # dequantize to bin centers
+        return np.minimum(body.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
+    raise NotImplementedError("unknown magic; real codecs not available here")
+
+
+def _phash(px: np.ndarray) -> int:
+    """64-bit average-hash: mean-pool to 8x8 luma, threshold at the mean.
+    (The classic aHash; DCT-based pHash plugs in the same way.)"""
+    luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = luma.shape
+    blocks = luma[: h - h % 8, : w - w % 8].reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+
+
+def caption_of(image_id: int) -> str:
+    px = _pixels(image_id, 2, 2)
+    return (
+        f"synthetic photo {image_id}: dominant rgb "
+        f"({int(px[0,0,0])},{int(px[0,0,1])},{int(px[0,0,2])})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# table builders / operators
+# ---------------------------------------------------------------------------
+
+def images_table(
+    spark: SparkSession,
+    n_images: int,
+    w: int = 32,
+    h: int = 32,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Build the image+caption table. Generation is mapInPandas over
+    spark.range — executor-parallel, never materialized on the driver."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for image_id in pdf["id"]:
+                image_id = int(image_id)
+                fmt = "qrgb6" if image_id % 3 == 0 else "rgb8"
+                px = _pixels(image_id, w, h)
+                rows.append(
+                    (str(image_id), _encode(px, fmt), w, h, fmt,
+                     caption_of(image_id), _phash(px))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
+
+    rng = spark.range(0, n_images,
+                      numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def verify_payload(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
+    """Decode every row and check the input-hint invariant: decoded-pixel
+    PSNR >= 40 dB for lossy formats (bit-exact for lossless) + caption
+    equality. Returns (image_id, fmt, psnr_db, caption_ok, phash_ok)."""
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                image_id = int(row.image_id)
+                decoded = _decode(bytes(row.bytes))
+                orig = _pixels(image_id, row.w, row.h)
+                p = psnr(orig, decoded)
+                out.append(
+                    (row.image_id, row.fmt,
+                     min(p, 99.0),
+                     row.caption == caption_of(image_id),
+                     int(row.phash) == _phash(orig))
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "fmt", "psnr_db", "caption_ok", "phash_ok"]
+            )
+
+    return images.mapInPandas(
+        check,
+        "image_id string, fmt string, psnr_db double, caption_ok boolean, "
+        "phash_ok boolean",
+    )
+
+
+def phash_near_dupes(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by phash Hamming distance.
+
+    Scale path: band-bucket the 64-bit phash into 4x16-bit bands (any pair
+    within Hamming distance <= 6 of a 64-bit hash shares at least one exact
+    16-bit band when distances spread across bands — the standard LSH
+    banding argument); candidate pairs join per band, then the exact
+    popcount residual filters. Avoids the O(n^2) cross join."""
+    bands = images.select(
+        "image_id", "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("phash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("image_id", "phash", "b.band", "b.val")
+
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("x"), ["band", "val"])
+        .where(F.col("a.image_id") < F.col("x.image_id"))
+        .select(
+            F.col("a.image_id").alias("id_a"),
+            F.col("x.image_id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("x.phash").alias("ph_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.withColumn("hamming", hamming).where(hamming <= max_hamming) \
+               .select("id_a", "id_b", "hamming")

@@ -153,10 +153,10 @@ def order_key(priority: Column, disc_round: Column, url: Column) -> list[Column]
 def is_valid_link(url: Column) -> Column:
     """B1/B2 validity: scheme, traversal, extension, length."""
     return (
-        url.rlike(r"^https://")
+        (F.length(url) <= MAX_URL_LEN)
+        & url.startswith("https://")
         & ~url.contains("..")
-        & ~F.lower(url).rlike(SKIP_EXT_RE)
-        & (F.length(url) <= MAX_URL_LEN)
+        & ~url.rlike("(?i)" + SKIP_EXT_RE)
     )
 
 
