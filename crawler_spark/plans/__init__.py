@@ -4,3 +4,4 @@ from .registry import QUERIES, ORACLES, register  # noqa: F401
 from . import relational  # noqa: F401,E402
 from . import frontier_queries  # noqa: F401,E402
 from . import pipeline_queries  # noqa: F401,E402
+from . import crawl_queries  # noqa: F401,E402

@@ -1,0 +1,168 @@
+"""Oracle-checked crawl queries: the REAL frontier engine (multi-round
+run_crawl) value-checked against an independently-written DuckDB SQL
+implementation of the frozen spec (spec.py), unrolled round by round
+(plain CTEs + QUALIFY — no recursion, so every intermediate is a checkable
+relation).
+
+Scale is derived from the sf directory (n_pages = COUNT(orders)), so the
+same query exercises sf0.001 -> sf0.1 without code changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..frontier import synth
+from ..frontier.engine import fetch_log_df, run_crawl
+from ..sources.testdata import load_table
+from .registry import register
+
+ROUNDS = 3
+K_PER_HOST = 2
+N_HOSTS = 20
+N_SEEDS = 6
+
+
+def _oracle_sql(rounds: int = ROUNDS, k: int = K_PER_HOST,
+                n_hosts: int = N_HOSTS, n_seeds: int = N_SEEDS) -> str:
+    """Unrolled spec implementation in DuckDB SQL."""
+    prio = (
+        "CASE WHEN is_listing THEN 1 + ascii(substr(md5(url),1,1)) % 2 "
+        "ELSE 3 + host_id % 3 END"
+    )
+    robots_ok = "NOT (host_id % 7 = 3 AND url LIKE '%/apa/d/%')"
+
+    parts = [f"""
+params AS (SELECT COUNT(*) AS n FROM orders),
+ids AS (SELECT ROW_NUMBER() OVER () - 1 AS p FROM orders),
+web AS (
+  SELECT p,
+         CAST(CASE WHEN p % 4 = 0 THEN p % 3 ELSE p % {n_hosts} END AS INT) AS host_id,
+         (p % 10 = 0) AS is_listing,
+         CASE WHEN p % 97 = 13 THEN 503 ELSE 200 END AS status
+  FROM ids
+),
+web_urls AS (
+  SELECT p, host_id, is_listing, status,
+         CASE WHEN is_listing
+              THEN 'https://h' || host_id || '.synth.test/search/apa?p=' || p
+              ELSE 'https://h' || host_id || '.synth.test/apa/d/item-' || p || '/' || p || '.html'
+         END AS url
+  FROM web
+),
+edges AS (
+  SELECT w.p AS parent, (w.p*31 + c.i*17 + 1) % (SELECT n FROM params) AS child
+  FROM web w CROSS JOIN (SELECT range AS i FROM range(12)) c
+  WHERE c.i < CASE WHEN w.is_listing THEN 12 ELSE 3 END
+),
+child_urls AS (
+  SELECT e.parent, wu.url, wu.host_id, wu.is_listing
+  FROM edges e JOIN web_urls wu ON wu.p = e.child
+),
+seed_pages AS (
+  SELECT DISTINCT (j.range * 10) % (SELECT n FROM params) AS p
+  FROM range({n_seeds}) j
+),
+frontier0 AS (
+  SELECT DISTINCT url, host_id, {prio} AS priority,
+         0 AS disc_round, 0 AS retry_count, 0 AS eligible_round
+  FROM web_urls WHERE p IN (SELECT p FROM seed_pages) AND {robots_ok}
+),
+seen0 AS (SELECT url FROM frontier0)"""]
+
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+batch{r} AS (
+  SELECT url, host_id, priority, disc_round, retry_count,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY host_id
+           ORDER BY priority, disc_round, md5(url), url) AS INT) AS seq
+  FROM frontier{r-1} WHERE eligible_round <= {r}
+  QUALIFY seq <= {k}
+),
+fetched{r} AS (
+  SELECT b.*, wu.p, wu.status FROM batch{r} b JOIN web_urls wu USING (url)
+),
+new{r} AS (
+  SELECT DISTINCT cu.url, cu.host_id,
+         CASE WHEN cu.is_listing THEN 1 + ascii(substr(md5(cu.url),1,1)) % 2
+              ELSE 3 + cu.host_id % 3 END AS priority,
+         {r} AS disc_round, 0 AS retry_count, {r} AS eligible_round
+  FROM fetched{r} f JOIN child_urls cu ON cu.parent = f.p
+  WHERE f.status = 200
+    AND NOT (cu.host_id % 7 = 3 AND cu.url LIKE '%/apa/d/%')
+    AND cu.url NOT IN (SELECT url FROM seen{r-1})
+),
+retry{r} AS (
+  SELECT url, host_id, priority, disc_round, retry_count + 1 AS retry_count,
+         {r} + CAST(pow(2, retry_count) AS INT) AS eligible_round
+  FROM fetched{r} WHERE status <> 200 AND retry_count + 1 <= 3
+),
+frontier{r} AS (
+  SELECT url, host_id, priority, disc_round, retry_count, eligible_round
+  FROM frontier{r-1} WHERE url NOT IN (SELECT url FROM batch{r})
+  UNION ALL SELECT * FROM new{r}
+  UNION ALL SELECT * FROM retry{r}
+),
+seen{r} AS (SELECT url FROM seen{r-1} UNION SELECT url FROM new{r})""")
+
+    union = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, priority, host_id, url, seq FROM batch{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT CAST(round AS INT) AS round, CAST(priority AS INT) AS priority, "
+          f"host_id, url, seq FROM ({union})"
+    )
+
+
+@register("crawl_3round_golden", oracle=_oracle_sql())
+def crawl_3round_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north-rule composite: 3 scheduling rounds of the real engine
+    (dedupe, robots, politeness top-k, fetch join, link expansion, retry
+    backoff) — fetch log checked value-for-value against the unrolled SQL
+    oracle."""
+    n_pages = load_table(spark, sf_dir, "orders").count()
+    web = synth.web_graph(spark, n_pages, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, n_pages, N_SEEDS, N_HOSTS)
+    state = run_crawl(spark, web, seeds, robots, rounds=ROUNDS,
+                      k_per_host=K_PER_HOST)
+    return fetch_log_df(state).select(
+        "round", "priority", "host_id", "url", "seq"
+    )
+
+
+# --- image payload queries (no SQL-expressible oracle: binary codec +
+# PSNR in Arrow UDFs -> rows-only driver check; full invariants asserted
+# in tests/test_images.py) ---
+
+@register("image_payload_verify", oracle=None)
+def image_payload_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..frontier import images as I
+
+    n = min(load_table(spark, sf_dir, "documents").count(), 2000)
+    imgs = I.images_table(spark, n)
+    v = I.verify_payload(imgs)
+    return v.agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
+        F.sum((F.col("psnr_db") >= 40.0).cast("int")).alias("n_psnr_ok"),
+        F.min("psnr_db").alias("min_psnr_db"),
+    )
+
+
+@register("image_phash_near_dup", oracle=None)
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..frontier import images as I
+
+    n = min(load_table(spark, sf_dir, "documents").count(), 2000)
+    imgs = I.images_table(spark, n)
+    pairs = I.phash_near_dupes(imgs, max_hamming=6)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.min("hamming").alias("min_hamming"),
+        F.max("hamming").alias("max_hamming"),
+    )
