@@ -1,0 +1,92 @@
+"""Scaling-efficiency evidence (north rule: >=0.8 throughput scaling from
+N to 4N executors, evidenced in-sandbox by running the identical round job
+at two parallelism levels on the same input).
+
+Each level runs in its own subprocess (fresh JVM — no shared-session
+contamination), with a warm-up round before the measured one. Writes
+BENCH.md and prints a JSON summary.
+
+Usage: python scripts/scaling_bench.py [scale] [low_cores] [high_cores]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from crawler_spark.session import get_spark
+from crawler_spark.frontier.bench_round import frontier_round_throughput
+cores, scale = int(sys.argv[1]), float(sys.argv[2])
+spark = get_spark("scaling", cores=cores)
+frontier_round_throughput(spark, scale=min(scale, 0.01))   # JVM/codegen warm-up
+best = None
+for _ in range(2):                                          # best-of-2
+    n, dt = frontier_round_throughput(spark, scale=scale)
+    best = dt if best is None else min(best, dt)
+print(json.dumps({{"cores": cores, "n_urls": n, "sec": best,
+                   "urls_per_sec": n / best}}))
+"""
+
+
+def run_level(cores: int, scale: float) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), str(scale)],
+        capture_output=True, text=True, timeout=1200,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    scale = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    a = run_level(low, scale)
+    b = run_level(high, scale)
+    ratio = high / low
+    eff = (b["urls_per_sec"] / a["urls_per_sec"]) / ratio
+    summary = {
+        "scale": scale,
+        "low": a,
+        "high": b,
+        "core_ratio": ratio,
+        "scaling_efficiency": round(eff, 3),
+        "meets_0.8_target": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(f"""# BENCH — frontier round throughput & scaling
+
+Job: one full frontier scheduling round (validity+relevance filter,
+in-wave dedupe, robots gate, exact anti-join vs a {a['n_urls']//2:,}-URL
+seen set, priority assignment, salted per-host top-k) over
+{a['n_urls']:,} candidate URLs (~2x duplication, Zipf-hot host head).
+Identical input and plan at both parallelism levels; fresh JVM per level;
+warm-up round excluded; best of 2.
+
+| parallelism | wall s | URLs/s |
+|---|---|---|
+| local[{low}]  | {a['sec']:.2f} | {a['urls_per_sec']:,.0f} |
+| local[{high}] | {b['sec']:.2f} | {b['urls_per_sec']:,.0f} |
+
+**Scaling efficiency {low}->{high} threads: {eff:.3f}**
+(target >= 0.8 per BASELINE.json north rule; in-sandbox stand-in for
+N -> 4N executors — see BASELINE.md §scaling for why thread-level scaling
+on one box under-reports cluster scaling: shared memory bandwidth, one
+shuffle service, one JVM heap).
+
+Reproduce: `python scripts/scaling_bench.py {scale} {low} {high}`
+""")
+
+
+if __name__ == "__main__":
+    main()
