@@ -80,9 +80,10 @@ def enqueue(
         .drop("disallow")
     )
     if seen_bloom is not None:
-        # approximate pre-filter (D1): drops most already-seen URLs before
-        # the shuffle; exact anti-join below restores exactness.
-        gated = seen_bloom.prefilter(gated, "url")
+        # D1 two-tier dedupe: bloom-miss rows bypass the anti-join shuffle
+        # entirely; bloom-hit rows get the exact check. Bit-identical to
+        # the plain anti-join (bloom.py guarantees no false negatives).
+        return seen_bloom.filter_new(gated, seen.select("url"), "url")
     # first-discovery-wins: exact anti-join against every URL ever enqueued
     return gated.join(seen.select("url"), "url", "left_anti")
 

@@ -127,6 +127,9 @@ def run_crawl_checkpointed(
     rounds: int,
     k_per_host: int,
     seeds: DataFrame | None = None,
+    use_bloom: bool = False,
+    bloom_buckets: int = 16,
+    bloom_capacity: int = 100_000,
 ) -> int:
     """Run (or RESUME) a crawl to ``rounds`` total rounds. Each round reads
     state from the last commit and writes one new commit — a crash between
@@ -147,8 +150,17 @@ def run_crawl_checkpointed(
             frontier=store.read("frontier", r - 1),
             seen=store.read("seen", r - 1),
         )
+        seen_bloom = None
+        if use_bloom:
+            # rebuild the sidecar from the committed seen snapshot — in
+            # production only buckets with new URLs are rewritten.
+            from .bloom import BloomSeen
+            seen_bloom = BloomSeen.build(
+                state.seen, os.path.join(store.root, "bloom", f"r{r-1:05d}"),
+                capacity_per_bucket=bloom_capacity, n_buckets=bloom_buckets,
+            )
         state, batch = run_round(spark, state, web, robots, r, k_per_host,
-                                 collect_metrics=False)
+                                 collect_metrics=False, seen_bloom=seen_bloom)
         # per-partition lineage (F1/F5): rows per shuffle partition of the
         # batch — the skew signal a 1000-executor operator would alarm on.
         lineage = (

@@ -5,3 +5,4 @@ from . import relational  # noqa: F401,E402
 from . import frontier_queries  # noqa: F401,E402
 from . import pipeline_queries  # noqa: F401,E402
 from . import crawl_queries  # noqa: F401,E402
+from . import html_queries  # noqa: F401,E402

@@ -1,0 +1,113 @@
+"""Oracle-checked HTML pipeline queries: deterministic HTML synthesized
+identically in Spark and DuckDB; the Spark side goes through the REAL
+Arrow UDFs (extract_links / parse_page), the oracle re-derives the same
+values with SQL regexps — so the vectorized-UDF layer itself is
+value-checked, not just unit-tested."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.html import extract_links, parse_page
+from ..sources.testdata import load_table
+from .registry import register
+
+# HTML template: title, a price block (absent when doc_id%5=0), beds/baths/
+# sqft, and two anchors (one relative, one absolute, one junk).
+_HTML_SQL = (
+    "SELECT doc_id, "
+    "'<html><title>Unit ' || doc_id || '</title>' "
+    "|| CASE WHEN doc_id % 5 = 0 THEN '' "
+    "        ELSE '<b>$' || CAST(doc_id % 9 + 1 AS VARCHAR) || ',' "
+    "             || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '</b>' END "
+    "|| ' ' || CAST(doc_id % 4 + 1 AS VARCHAR) || 'br ' "
+    "|| CAST(doc_id % 2 + 1 AS VARCHAR) "
+    "|| CASE WHEN doc_id % 2 = 0 THEN '.5' ELSE '' END || 'ba ' "
+    "|| CAST(doc_id % 1500 + 300 AS VARCHAR) || 'ft2 ' "
+    "|| '<a href=\"/apa/d/u/' || doc_id || '.html\">r</a>' "
+    "|| '<a href=\"https://Other.Example.COM/x/' || doc_id || '/\">a</a>' "
+    "|| '<a href=\"javascript:void(0)\">j</a></html>' AS html, "
+    "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/search/apa' AS base "
+    "FROM documents"
+)
+
+
+def _html_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    price = F.when(i % 5 == 0, "").otherwise(
+        F.concat(F.lit("<b>$"), (i % 9 + 1).cast("string"), F.lit(","),
+                 F.lpad((i % 900 + 100).cast("string"), 3, "0"), F.lit("</b>"))
+    )
+    baths = F.concat((i % 2 + 1).cast("string"),
+                     F.when(i % 2 == 0, ".5").otherwise(""))
+    html = F.concat(
+        F.lit("<html><title>Unit "), i.cast("string"), F.lit("</title>"),
+        price,
+        F.lit(" "), (i % 4 + 1).cast("string"), F.lit("br "),
+        baths, F.lit("ba "),
+        (i % 1500 + 300).cast("string"), F.lit("ft2 "),
+        F.lit('<a href="/apa/d/u/'), i.cast("string"), F.lit('.html">r</a>'),
+        F.lit('<a href="https://Other.Example.COM/x/'), i.cast("string"),
+        F.lit('/">a</a>'),
+        F.lit('<a href="javascript:void(0)">j</a></html>'),
+    )
+    base = F.concat(F.lit("https://h"), (i % 7).cast("string"),
+                    F.lit(".example.com/search/apa"))
+    return d.select("doc_id", html.alias("html"), base.alias("base"))
+
+
+@register(
+    "html_parse_fields_udf",
+    oracle="""
+    WITH t AS ({html})
+    SELECT doc_id,
+           regexp_extract(html, '<title[^>]*>([^<]*)</title>', 1) AS title,
+           TRY_CAST(NULLIF(replace(
+               regexp_extract(html, '\\$\\s*([0-9][0-9,]*)', 1), ',', ''), '')
+                AS DOUBLE) AS price,
+           CAST(regexp_extract(html, '(\\d+)\\s*br\\b', 1) AS INT) AS beds,
+           CAST(regexp_extract(html, '(\\d+(?:\\.\\d+)?)\\s*ba\\b', 1) AS DOUBLE) AS baths
+    FROM t
+    """.format(html=_HTML_SQL),
+)
+def html_parse_fields_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_page Arrow UDF vs SQL-regexp oracle. NULL price rows (no $
+    block) check the C15 null-on-fail contract."""
+    t = _html_df(spark, sf_dir)
+    p = t.select("doc_id", parse_page("html", "base").alias("p"))
+    return p.select(
+        "doc_id",
+        F.col("p.title").alias("title"),
+        F.col("p.price").alias("price"),
+        F.col("p.beds").alias("beds"),
+        F.col("p.baths").alias("baths"),
+    )
+
+
+@register(
+    "html_extract_links_udf",
+    oracle="""
+    WITH t AS ({html}),
+    expect AS (
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/apa/d/u/' || doc_id || '.html' AS url
+      FROM t
+      UNION ALL
+      SELECT doc_id,
+             'https://other.example.com/x/' || doc_id AS url
+      FROM t
+    )
+    SELECT doc_id, url FROM expect
+    """.format(html=_HTML_SQL),
+)
+def html_extract_links_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_links UDF (urljoin + host-lowercase + trailing-slash strip
+    + javascript: rejection) -> explode; oracle constructs the canonical
+    URLs it must produce."""
+    t = _html_df(spark, sf_dir)
+    return t.select(
+        "doc_id", F.explode(extract_links("html", "base")).alias("url")
+    )

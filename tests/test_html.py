@@ -1,0 +1,73 @@
+"""HTML extraction/parse UDFs: link/image extraction with canonicalization
+and per-page set semantics; 8-field property parse with null-on-fail."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.html import (
+    extract_links,
+    extract_image_urls,
+    parse_page,
+)
+
+PAGE = """
+<html><head><title> 2br Sunny Flat </title></head><body>
+<a href="/apa/d/x/111.html">one</a>
+<a HREF='https://SF.Craigslist.ORG/apa/d/y/222.html#pic'>two</a>
+<a href="/apa/d/x/111.html">dup</a>
+<a href="javascript:void(0)">bad</a>
+<a href="mailto:a@b.c">bad2</a>
+<img src="/img/a.jpg"><img src='https://cdn.x.com/b.png'><img src="/img/a.jpg">
+<span>$1,250 2br 1.5ba 850ft2</span>
+<div data-latitude="37.77" data-longitude="-122.42"></div>
+</body></html>
+"""
+BASE = "https://sf.craigslist.org/search/apa"
+
+
+def test_extract_links_canonical_set(spark):
+    df = spark.createDataFrame([(PAGE, BASE)], "html string, base string")
+    links = df.select(extract_links("html", "base").alias("ls")).collect()[0]["ls"]
+    assert links == [
+        "https://sf.craigslist.org/apa/d/x/111.html",
+        "https://sf.craigslist.org/apa/d/y/222.html",
+    ]
+
+
+def test_extract_images(spark):
+    df = spark.createDataFrame([(PAGE, BASE)], "html string, base string")
+    imgs = df.select(extract_image_urls("html", "base").alias("im")).collect()[0]["im"]
+    assert imgs == [
+        "https://sf.craigslist.org/img/a.jpg",
+        "https://cdn.x.com/b.png",
+    ]
+
+
+def test_parse_page_fields(spark):
+    df = spark.createDataFrame(
+        [(PAGE, "https://sf.craigslist.org/apa/d/x/111.html"),
+         ("<html>no fields</html>", "https://x.org/rea/1.html"),
+         (None, None)],
+        "html string, url string",
+    )
+    rows = df.select(parse_page("html", "url").alias("p")).select("p.*").collect()
+    r = rows[0]
+    assert r["title"] == "2br Sunny Flat"
+    assert r["price"] == 1250.0
+    assert r["beds"] == 2 and r["baths"] == 1.5 and r["sqft"] == 850
+    assert r["latitude"] == 37.77 and r["longitude"] == -122.42
+    assert r["property_type"] == "apartment"
+    assert rows[1]["price"] is None and rows[1]["property_type"] == "real estate"
+    assert all(v is None for v in rows[2].asDict().values())
+
+
+def test_explode_pipeline_shape(spark):
+    """H1 UDTF shape: UDF -> explode -> dropDuplicates, all lazily planned."""
+    df = spark.createDataFrame([(PAGE, BASE), (PAGE, BASE)],
+                               "html string, base string")
+    out = (
+        df.select(F.explode(extract_links("html", "base")).alias("url"))
+        .dropDuplicates(["url"])
+    )
+    assert out.count() == 2

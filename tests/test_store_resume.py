@@ -59,3 +59,21 @@ def test_time_travel_view(spark, tmp_path):
     run_crawl_checkpointed(st, web, robots, 3, K, seeds=seeds)
     upto2 = st.read_deltas("fetch_log", upto=2).select("round").distinct().collect()
     assert {r["round"] for r in upto2} == {1, 2}
+
+
+def test_bloom_accelerated_crawl_identical(spark, tmp_path):
+    """The bloom-sidecar path must be bit-identical to the exact path."""
+    web = synth.web_graph(spark, N_PAGES, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, N_PAGES, N_SEEDS, N_HOSTS)
+
+    plain = RoundStore(spark, str(tmp_path / "plain"))
+    run_crawl_checkpointed(plain, web, robots, 3, K, seeds=seeds)
+    bloomy = RoundStore(spark, str(tmp_path / "bloomy"))
+    run_crawl_checkpointed(bloomy, web, robots, 3, K, seeds=seeds,
+                           use_bloom=True, bloom_buckets=8)
+
+    assert _log_rows(plain) == _log_rows(bloomy)
+    a = {r["url"] for r in plain.read("seen", 3).collect()}
+    b = {r["url"] for r in bloomy.read("seen", 3).collect()}
+    assert a == b
