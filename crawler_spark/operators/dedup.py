@@ -83,10 +83,22 @@ def minhash_lsh_candidates(
     partitioner spreads bands; at scale the band tables are bucketable.
     """
     n_bands = k // band_size
-    sig = df.select(
+    # explode shingles -> codegen md5 per (row, j) -> min-agg (map-side
+    # partial): ~16x faster than array_min(transform(...)) because Spark
+    # interprets higher-order-function lambda bodies outside whole-stage
+    # codegen. Same values: min_j over the doc's shingles either way.
+    # Docs with < shingle_n tokens have no shingles and drop out (as the
+    # mh0-null filter did before).
+    ex = df.select(
         F.col(id_col).alias("_id"),
-        *minhash_signature(word_shingles(F.col(text_col), shingle_n), k),
-    ).where(F.col("mh0").isNotNull())
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
+    )
+    sig = ex.groupBy("_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"k{j}"), F.col("_s")))).alias(f"mh{j}")
+            for j in range(k)
+        ]
+    )
     bands = sig.select(
         "_id",
         F.explode(
