@@ -1,0 +1,84 @@
+"""Physical-plan assertions: the plans we ship are the plans we designed —
+broadcast joins for dimensions, filter/column pushdown into parquet scans,
+whole-stage codegen on the hot path, no accidental cartesian products.
+These guard against regressions that correctness tests can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.frontier import synth
+from crawler_spark.frontier.engine import enqueue, schedule_batch
+from crawler_spark.plans import QUERIES
+from crawler_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_robots_gate_is_broadcast(spark):
+    df = QUERIES["robots_gate"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_enqueue_robots_join_is_broadcast(spark):
+    seeds = synth.seed_urls(spark, 2000, 6, 20)
+    robots = synth.robots_dim(spark, 20)
+    rows = enqueue(seeds.select("url"), seeds.select("url").limit(0), robots, 0)
+    assert "BroadcastHashJoin" in _plan(rows)
+
+
+def test_parquet_filter_pushdown(spark):
+    d = load_table(spark, SF, "orders").where(F.col("o_orderkey") < 100) \
+        .select("o_orderkey")
+    plan = _plan(d)
+    assert "PushedFilters: [" in plan and "LessThan(o_orderkey,100)" in plan
+    # column pruning: only the selected column is read
+    assert "ReadSchema: struct<o_orderkey" in plan
+
+
+def test_column_pruning_in_heatmap(spark):
+    plan = _plan(QUERIES["heatmap_grid"](spark, SF))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    # scan must not read the wide text/header columns
+    assert "html" not in read and "title" not in read
+
+
+def test_schedule_batch_no_cartesian(spark):
+    seeds = synth.seed_urls(spark, 2000, 6, 20)
+    robots = synth.robots_dim(spark, 20)
+    rows = enqueue(seeds.select("url"), seeds.select("url").limit(0), robots, 0)
+    batch = schedule_batch(rows, 1, 2)
+    plan = _plan(batch)
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" in plan or "Window" in plan
+
+
+def test_hot_path_queries_have_no_python_udf(spark):
+    """Everything except the declared Arrow-UDF pipelines stays JVM-side."""
+    arrow_ok = {
+        "html_parse_fields_udf", "html_extract_links_udf",
+        "image_payload_verify", "image_phash_near_dup",
+        "embedding_ann_lsh", "embedding_cosine_topk",
+    }
+    for name, fn in QUERIES.items():
+        if name in arrow_ok or name.startswith("crawl_3round"):
+            continue
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name} uses row-Python UDF"
+
+
+def test_whole_stage_codegen_on_scan_heavy_query(spark):
+    df = QUERIES["tpch_q1"](spark, SF)
+    df.collect()  # AQE finalizes the plan only after execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark WholeStageCodegen stages in the tree string;
+    # both the partial and final aggregate must be inside codegen stages.
+    assert "*(1) HashAggregate" in plan and "partial_sum" in plan
+    assert "*(2) HashAggregate" in plan
