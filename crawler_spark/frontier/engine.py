@@ -42,10 +42,15 @@ class CrawlState:
 
     frontier: DataFrame          # queued rows only
     seen: DataFrame              # (url) — every URL ever enqueued
+    hosts: DataFrame | None = None  # (host_id, last_fetch_round) politeness state
     fetch_log: list[DataFrame] = field(default_factory=list)
     pages: list[DataFrame] = field(default_factory=list)
     dlq: list[DataFrame] = field(default_factory=list)
     metrics: list[dict] = field(default_factory=list)
+
+
+def empty_hosts(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "host_id int, last_fetch_round int")
 
 
 def enqueue(
@@ -132,13 +137,28 @@ def run_round(
     max_retries: int = spec.MAX_RETRIES,
     seen_bloom=None,
     collect_metrics: bool = True,
+    cooldown_rounds: int = 1,
 ) -> tuple[CrawlState, DataFrame]:
     """Execute one scheduling round (spec steps 1-8). Returns (state', batch).
+
+    ``cooldown_rounds`` is the cross-round politeness interval (G1): a host
+    fetched in round r is not eligible again before round r + cooldown.
+    With the default 1, every round is eligible (the per-round budget
+    k_per_host is then the only politeness constraint) and the host-state
+    join is skipped entirely.
 
     Everything is lazy; the caller materializes via store.commit() or
     localCheckpoint — exactly one materialization boundary per round.
     """
-    batch = schedule_batch(state.frontier, round_no, k_per_host)
+    frontier_in = state.frontier
+    if cooldown_rounds > 1 and state.hosts is not None:
+        # broadcast the (tiny vs frontier) host-politeness dimension; a
+        # missing host or an elapsed cooldown means eligible.
+        cool = state.hosts.where(
+            F.col("last_fetch_round") + cooldown_rounds > round_no
+        ).select("host_id")
+        frontier_in = frontier_in.join(F.broadcast(cool), "host_id", "left_anti")
+    batch = schedule_batch(frontier_in, round_no, k_per_host)
 
     # 3. fetch = join against the synthetic web (J7). Equi-join on url;
     # AQE picks SMJ/shuffled-hash and splits skew at runtime.
@@ -184,6 +204,15 @@ def run_round(
         .unionByName(requeue.select(*FRONTIER_COLS))
     )
     seen_next = state.seen.select("url").unionByName(new_rows.select("url"))
+    hosts_next = state.hosts
+    if hosts_next is not None:
+        fetched_hosts = batch.select("host_id").distinct().select(
+            "host_id", F.lit(round_no).cast("int").alias("last_fetch_round")
+        )
+        hosts_next = (
+            state.hosts.join(fetched_hosts.select("host_id"), "host_id", "left_anti")
+            .unionByName(fetched_hosts)
+        )
 
     state.fetch_log.append(log_delta)
     state.pages.append(pages_delta)
@@ -207,8 +236,8 @@ def run_round(
             }
         )
 
-    return CrawlState(frontier_next, seen_next, state.fetch_log, state.pages,
-                      state.dlq, state.metrics), batch
+    return CrawlState(frontier_next, seen_next, hosts_next, state.fetch_log,
+                      state.pages, state.dlq, state.metrics), batch
 
 
 def run_crawl(
@@ -219,6 +248,7 @@ def run_crawl(
     rounds: int,
     k_per_host: int,
     collect_metrics: bool = False,
+    cooldown_rounds: int = 1,
 ) -> CrawlState:
     """In-memory multi-round crawl (store.py has the checkpointed variant).
 
@@ -232,12 +262,16 @@ def run_crawl(
     state = CrawlState(
         frontier=first.select(*FRONTIER_COLS).localCheckpoint(eager=True),
         seen=first.select("url").localCheckpoint(eager=True),
+        hosts=empty_hosts(spark) if cooldown_rounds > 1 else None,
     )
     for r in range(1, rounds + 1):
         state, _ = run_round(spark, state, web, robots, r, k_per_host,
-                             collect_metrics=collect_metrics)
+                             collect_metrics=collect_metrics,
+                             cooldown_rounds=cooldown_rounds)
         state.frontier = state.frontier.localCheckpoint(eager=True)
         state.seen = state.seen.localCheckpoint(eager=True)
+        if state.hosts is not None:
+            state.hosts = state.hosts.localCheckpoint(eager=True)
         state.fetch_log[-1] = state.fetch_log[-1].localCheckpoint(eager=True)
         state.pages[-1] = state.pages[-1].localCheckpoint(eager=True)
         state.dlq[-1] = state.dlq[-1].localCheckpoint(eager=True)

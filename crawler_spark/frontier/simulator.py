@@ -103,9 +103,11 @@ def simulate(
     k_per_host: int,
     n_hosts: int = spec.N_HOSTS,
     max_retries: int = spec.MAX_RETRIES,
+    cooldown_rounds: int = 1,
 ) -> SimResult:
     res = SimResult()
     page_of_url = {url_of(p, n_hosts): p for p in range(n_pages)}
+    last_fetch: dict[int, int] = {}  # host_id -> last fetched round (G1)
 
     def enqueue(urls: set[str], disc_round: int, frontier: list[FrontierRow]):
         for u in sorted(urls):
@@ -128,7 +130,12 @@ def simulate(
     enqueue(seeds, 0, frontier)
 
     for r in range(1, rounds + 1):
-        eligible = [row for row in frontier if row.eligible_round <= r]
+        eligible = [
+            row for row in frontier
+            if row.eligible_round <= r
+            and (row.host_id not in last_fetch
+                 or last_fetch[row.host_id] + cooldown_rounds <= r)
+        ]
         by_host: dict[int, list[FrontierRow]] = {}
         for row in eligible:
             by_host.setdefault(row.host_id, []).append(row)
@@ -136,7 +143,10 @@ def simulate(
         batch: list[tuple[FrontierRow, int]] = []
         for h, rows in by_host.items():
             rows.sort(key=lambda x: (x.priority, x.disc_round, _md5(x.url), x.url))
-            for seq, row in enumerate(rows[:k_per_host], start=1):
+            picked_rows = rows[:k_per_host]
+            if picked_rows:
+                last_fetch[h] = r
+            for seq, row in enumerate(picked_rows, start=1):
                 batch.append((row, seq))
 
         picked = {row.url for row, _ in batch}

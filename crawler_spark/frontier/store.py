@@ -31,9 +31,9 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .engine import FRONTIER_COLS, CrawlState, enqueue, run_round
+from .engine import FRONTIER_COLS, CrawlState, empty_hosts, enqueue, run_round
 
-STATE_TABLES = ("frontier", "seen")
+STATE_TABLES = ("frontier", "seen", "hosts")
 DELTA_TABLES = ("fetch_log", "pages", "dlq", "metrics")
 
 
@@ -106,6 +106,7 @@ def init_crawl(store: RoundStore, seeds: DataFrame, robots: DataFrame) -> None:
     store.commit(0, {
         "frontier": first.select(*FRONTIER_COLS),
         "seen": first.select("url"),
+        "hosts": empty_hosts(spark),
         "fetch_log": empty_log,
         "pages": spark.createDataFrame(
             [], "round int, url string, page_id long, kind string, "
@@ -130,6 +131,7 @@ def run_crawl_checkpointed(
     use_bloom: bool = False,
     bloom_buckets: int = 16,
     bloom_capacity: int = 100_000,
+    cooldown_rounds: int = 1,
 ) -> int:
     """Run (or RESUME) a crawl to ``rounds`` total rounds. Each round reads
     state from the last commit and writes one new commit — a crash between
@@ -149,6 +151,7 @@ def run_crawl_checkpointed(
         state = CrawlState(
             frontier=store.read("frontier", r - 1),
             seen=store.read("seen", r - 1),
+            hosts=store.read("hosts", r - 1),
         )
         seen_bloom = None
         if use_bloom:
@@ -160,7 +163,8 @@ def run_crawl_checkpointed(
                 capacity_per_bucket=bloom_capacity, n_buckets=bloom_buckets,
             )
         state, batch = run_round(spark, state, web, robots, r, k_per_host,
-                                 collect_metrics=False, seen_bloom=seen_bloom)
+                                 collect_metrics=False, seen_bloom=seen_bloom,
+                                 cooldown_rounds=cooldown_rounds)
         # per-partition lineage (F1/F5): rows per shuffle partition of the
         # batch — the skew signal a 1000-executor operator would alarm on.
         lineage = (
@@ -182,6 +186,7 @@ def run_crawl_checkpointed(
         store.commit(r, {
             "frontier": state.frontier,
             "seen": state.seen,
+            "hosts": state.hosts,
             "fetch_log": state.fetch_log[-1],
             "pages": state.pages[-1],
             "dlq": state.dlq[-1],

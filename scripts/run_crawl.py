@@ -1,0 +1,77 @@
+"""Crawl driver for spark-submit (north rule: `spark-submit --py-files`).
+
+Cluster:
+  zip -r crawler_spark.zip crawler_spark
+  spark-submit --py-files crawler_spark.zip scripts/run_crawl.py \
+      --warehouse hdfs:///wh --n-pages 10000000000 --rounds 20 \
+      --k-per-host 64 --n-hosts 1000000 --use-bloom
+
+Sandbox (local mode is chosen automatically when no master is set):
+  python scripts/run_crawl.py --warehouse /tmp/wh --n-pages 100000 --rounds 5
+
+Resume: re-run with the same --warehouse; the crawl continues after the
+last committed round (crash-safe: manifest-last atomic commits).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--n-pages", type=int, default=100_000)
+    ap.add_argument("--n-hosts", type=int, default=20)
+    ap.add_argument("--n-seeds", type=int, default=8)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--k-per-host", type=int, default=3)
+    ap.add_argument("--use-bloom", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from crawler_spark.session import get_spark, tune_session
+
+    if os.environ.get("SPARK_SUBMIT_DEPLOY_MODE") or "SPARK_ENV_LOADED" in os.environ:
+        spark = SparkSession.builder.appName("crawler_spark").getOrCreate()
+        tune_session(spark)
+    else:
+        spark = get_spark("crawler_spark_crawl")
+
+    from crawler_spark.frontier import synth
+    from crawler_spark.frontier.store import RoundStore, run_crawl_checkpointed
+
+    web = synth.web_graph(spark, args.n_pages, args.n_hosts)
+    robots = synth.robots_dim(spark, args.n_hosts)
+    seeds = synth.seed_urls(spark, args.n_pages, args.n_seeds, args.n_hosts)
+
+    store = RoundStore(spark, args.warehouse)
+    resumed_from = store.latest_round()
+    t0 = time.perf_counter()
+    run_crawl_checkpointed(
+        store, web, robots, args.rounds, args.k_per_host,
+        seeds=None if resumed_from is not None else seeds,
+        use_bloom=args.use_bloom,
+    )
+    dt = time.perf_counter() - t0
+
+    log = store.read_deltas("fetch_log")
+    seen = store.read("seen", args.rounds)
+    print(json.dumps({
+        "rounds": args.rounds,
+        "resumed_from": resumed_from,
+        "fetches": log.count(),
+        "seen_urls": seen.count(),
+        "wall_sec": round(dt, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

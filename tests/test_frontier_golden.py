@@ -104,3 +104,27 @@ def test_robots_block_is_effective(crawl_pair):
         h = simulator.host_id_of_url(url)
         if h in blocked_hosts:
             assert spec.ROBOTS_DISALLOW not in url
+
+
+def test_politeness_cooldown_golden(spark):
+    """cooldown_rounds=2: a host fetched in round r sits out round r+1.
+    Engine (broadcast host-state anti-join) must match the simulator."""
+    n_pages, rounds, k = 2000, 5, 2
+    web = synth.web_graph(spark, n_pages, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, n_pages, 6, N_HOSTS)
+    state = run_crawl(spark, web, seeds, robots, rounds=rounds, k_per_host=k,
+                      cooldown_rounds=2)
+    sim = simulator.simulate(n_pages, 6, rounds, k, N_HOSTS,
+                             cooldown_rounds=2)
+    got = sorted(
+        (r["round"], r["priority"], r["host_id"], r["url"], r["seq"])
+        for r in fetch_log_df(state).collect()
+    )
+    assert got == sorted(sim.fetch_log)
+    # the cooldown actually bites: no host appears in consecutive rounds
+    by_round = {}
+    for rr, _, h, _, _ in got:
+        by_round.setdefault(rr, set()).add(h)
+    for rr in range(1, rounds):
+        assert not (by_round.get(rr, set()) & by_round.get(rr + 1, set()))

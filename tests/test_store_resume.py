@@ -77,3 +77,16 @@ def test_bloom_accelerated_crawl_identical(spark, tmp_path):
     a = {r["url"] for r in plain.read("seen", 3).collect()}
     b = {r["url"] for r in bloomy.read("seen", 3).collect()}
     assert a == b
+
+
+def test_checkpointed_cooldown_matches_simulator(spark, tmp_path):
+    from crawler_spark.frontier import simulator
+    st = RoundStore(spark, str(tmp_path / "cool"))
+    web = synth.web_graph(spark, N_PAGES, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, N_PAGES, N_SEEDS, N_HOSTS)
+    run_crawl_checkpointed(st, web, robots, 4, K, seeds=seeds,
+                           cooldown_rounds=2)
+    sim = simulator.simulate(N_PAGES, N_SEEDS, 4, K, N_HOSTS,
+                             cooldown_rounds=2)
+    assert _log_rows(st) == sorted(sim.fetch_log)
