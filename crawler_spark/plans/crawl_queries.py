@@ -25,7 +25,8 @@ N_SEEDS = 6
 
 
 def _oracle_sql(rounds: int = ROUNDS, k: int = K_PER_HOST,
-                n_hosts: int = N_HOSTS, n_seeds: int = N_SEEDS) -> str:
+                n_hosts: int = N_HOSTS, n_seeds: int = N_SEEDS,
+                final_select: str | None = None) -> str:
     """Unrolled spec implementation in DuckDB SQL."""
     prio = (
         "CASE WHEN is_listing THEN 1 + ascii(substr(md5(url),1,1)) % 2 "
@@ -107,15 +108,16 @@ frontier{r} AS (
 ),
 seen{r} AS (SELECT url FROM seen{r-1} UNION SELECT url FROM new{r})""")
 
-    union = "\nUNION ALL ".join(
-        f"SELECT {r} AS round, priority, host_id, url, seq FROM batch{r}"
-        for r in range(1, rounds + 1)
-    )
-    return (
-        "WITH " + ",".join(parts)
-        + f"\nSELECT CAST(round AS INT) AS round, CAST(priority AS INT) AS priority, "
-          f"host_id, url, seq FROM ({union})"
-    )
+    if final_select is None:
+        union = "\nUNION ALL ".join(
+            f"SELECT {r} AS round, priority, host_id, url, seq FROM batch{r}"
+            for r in range(1, rounds + 1)
+        )
+        final_select = (
+            "SELECT CAST(round AS INT) AS round, CAST(priority AS INT) AS "
+            f"priority, host_id, url, seq FROM ({union})"
+        )
+    return "WITH " + ",".join(parts) + "\n" + final_select
 
 
 @register("crawl_3round_golden", oracle=_oracle_sql())
@@ -132,6 +134,55 @@ def crawl_3round_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
                       k_per_host=K_PER_HOST)
     return fetch_log_df(state).select(
         "round", "priority", "host_id", "url", "seq"
+    )
+
+
+# Crawled property pages joined to the image+caption payload table — the
+# BASELINE input_hint caption-equality invariant checked THROUGH the
+# driver's value-hash gate (captions are a pure function of image_id, so
+# the oracle rebuilds them in SQL; pixel/PSNR checks need the binary
+# decode and live in image_payload_verify + tests/test_images.py).
+_PAGES_CAPTION_SELECT = """
+SELECT round, url, image_id, caption FROM (
+{union}
+)""".format(union="\nUNION ALL ".join(
+    f"""SELECT {r} AS round, f.url,
+       f.p AS image_id,
+       'synthetic photo ' || f.p || ': dominant rgb ('
+         || (f.p*7) % 256 || ',' || (f.p*13) % 256 || ',' || f.p % 256 || ')'
+         AS caption
+FROM fetched{r} f JOIN web w ON w.p = f.p
+WHERE f.status = 200 AND NOT w.is_listing"""
+    for r in range(1, 3)
+))
+
+
+@register(
+    "crawl_pages_with_captions",
+    oracle=_oracle_sql(rounds=2, final_select=_PAGES_CAPTION_SELECT),
+)
+def crawl_pages_with_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round crawl; ok property pages joined to the images table on
+    image_id; caption strings value-checked against the SQL oracle."""
+    from ..frontier import images as I
+
+    n_pages = load_table(spark, sf_dir, "orders").count()
+    web = synth.web_graph(spark, n_pages, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, n_pages, N_SEEDS, N_HOSTS)
+    state = run_crawl(spark, web, seeds, robots, rounds=2,
+                      k_per_host=K_PER_HOST)
+    pages = state.pages[0]
+    for d in state.pages[1:]:
+        pages = pages.unionByName(d)
+    props = pages.where(F.col("kind") == "property").select(
+        "round", "url", "image_id"
+    )
+    imgs = I.images_table(spark, n_pages).select(
+        F.col("image_id").cast("long").alias("image_id"), "caption"
+    )
+    return props.join(imgs, "image_id").select(
+        "round", "url", "image_id", "caption"
     )
 
 
