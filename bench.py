@@ -80,10 +80,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "frontier_urls_scheduled_deduped_per_sec",
-                "value": round(urls_per_sec, 1),
+                "metric": "headline_suite_plus_frontier_round_wall",
+                "value": total,
                 "unit": "sec",
-                "total_sec": total,
+                "frontier_urls_scheduled_deduped_per_sec": round(urls_per_sec, 1),
                 "round_sec": round(round_sec, 4),
                 "round_urls": n_urls,
                 "queries": per_query,
