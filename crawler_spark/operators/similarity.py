@@ -133,3 +133,85 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantization into cells, search probes
+# the nprobe nearest cells only. The centroid table is tiny (C x dim) and
+# rides in the UDF closure; the corpus partitions by cell exactly once
+# (the "inverted file"), so at 100 TB the index build is one pass and a
+# query touches |corpus| * nprobe / C rows.
+# ---------------------------------------------------------------------------
+
+def sample_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> np.ndarray:
+    """Deterministic centroid init: evenly-strided sample by id rank.
+    (Lloyd refinement is a straightforward extension — each iteration is
+    one groupBy(cell).avg(); sampled centroids are sufficient for the
+    recall targets tested here.)"""
+    ranked = corpus.select(
+        F.col(vec_col).alias("v"),
+        F.row_number().over(W.orderBy(F.col(id_col))).alias("rn"),
+    )
+    n = ranked.count()
+    stride = max(n // n_cells, 1)
+    rows = (
+        ranked.where((F.col("rn") % stride == 0) & (F.col("rn") / stride <= n_cells))
+        .orderBy("rn").collect()
+    )
+    return np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows[:n_cells]])
+
+
+def cell_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """pandas UDF: embedding -> array of the nprobe nearest cell ids
+    (by cosine). One matmul per Arrow batch."""
+    cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cnorm.T                       # (batch, C)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k: corpus indexed to its nearest cell (nprobe=1);
+    queries probe their nprobe nearest cells; exact cosine re-ranking
+    within probed cells only."""
+    centroids = sample_centroids(corpus, id_col, vec_col, n_cells)
+    c_assign = cell_assign_udf(centroids, nprobe=1)
+    q_assign = cell_assign_udf(centroids, nprobe=nprobe)
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        F.explode(c_assign(F.col(vec_col))).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.explode(q_assign(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(q, "cell")
+        .where(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("cos", 4).alias("cos_sim"))
+    )

@@ -386,3 +386,14 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg((1 + F.sum("new_session")).cast("int").alias("n_sessions"))
     )
+
+
+@register("embedding_ann_ivf", oracle=None)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (nprobe cell search + exact re-rank) — rows-only check;
+    recall vs brute force asserted in tests/test_similarity_ivf.py."""
+    from ..operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 50)
+    return ivf_topk(e, q, "vec_id", "embedding", k=5, n_cells=16, nprobe=4)
