@@ -80,3 +80,57 @@ def test_stream_seed_inbox_merges_frontier(spark, tmp_path):
     n_after = after.count()
     assert n_after > before                      # new seeds merged
     assert after.count() == after.select("url").distinct().count()  # deduped
+
+
+def test_stateful_politeness_gate(spark, tmp_path):
+    """applyInPandasWithState politeness: state persists ACROSS micro-
+    batches (a host admitted in batch 1 blocks too-soon candidates in
+    batch 2), and the cumulative decisions equal the batch fold."""
+    from crawler_spark.streaming.stateful import (
+        politeness_admit, politeness_admit_batch)
+
+    rows = [  # (host_id, url, ts)
+        (1, "https://h1.synth.test/a", 0.0),
+        (1, "https://h1.synth.test/b", 4.0),    # < 8s after a -> blocked
+        (2, "https://h2.synth.test/a", 1.0),
+        (1, "https://h1.synth.test/c", 9.0),    # >= 8s after a -> admitted
+        (1, "https://h1.synth.test/d", 12.0),   # < 8s after c -> blocked
+        (2, "https://h2.synth.test/b", 20.0),
+    ]
+    batch1, batch2 = rows[:3], rows[3:]
+    schema = "host_id int, url string, ts double"
+    src = str(tmp_path / "cand")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        src + "/b1")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        src + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")   # one file per micro-batch
+        .parquet(src + "/b*")
+    )
+    q = (
+        politeness_admit(stream, min_interval_s=8.0)
+        .writeStream.format("memory").queryName("polite")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["url"]: r["admitted"]
+           for r in spark.sql("select * from polite").collect()}
+    want = {r["url"]: r["admitted"]
+            for r in politeness_admit_batch(
+                spark.createDataFrame(rows, schema), 8.0).collect()}
+    assert got == want
+    assert want == {
+        "https://h1.synth.test/a": True,
+        "https://h1.synth.test/b": False,
+        "https://h1.synth.test/c": True,
+        "https://h1.synth.test/d": False,
+        "https://h2.synth.test/a": True,
+        "https://h2.synth.test/b": True,
+    }
