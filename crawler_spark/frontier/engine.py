@@ -80,7 +80,9 @@ def enqueue(
     )
     # robots gate at enqueue — tiny dim, broadcast (J6); null => allowed
     gated = (
-        candidates.join(F.broadcast(robots), "host_id", "left")
+        candidates.join(
+            F.broadcast(robots.select("host_id", "disallow")), "host_id", "left"
+        )
         .where(F.col("disallow").isNull() | ~url.contains(F.col("disallow")))
         .drop("disallow")
     )
@@ -98,6 +100,7 @@ def schedule_batch(
     round_no: int,
     k_per_host: int,
     salt_buckets: int = 8,
+    robots: DataFrame | None = None,
 ) -> DataFrame:
     """Politeness-budget fetch batch: per-host top-k by the frozen order
     key, two-phase with salting so a hot host (Zipf head) never serializes
@@ -120,11 +123,25 @@ def schedule_batch(
         .drop("lr")
     )
     w_host = W.partitionBy("host_id").orderBy(*okey)
-    return (
+    ranked = (
         local.withColumn("seq", F.row_number().over(w_host).cast("int"))
-        .where(F.col("seq") <= k_per_host)
         .drop("salt")
     )
+    if robots is not None and "crawl_delay" in robots.columns:
+        # robots crawl_delay -> per-host round budget max(1, k // delay);
+        # hosts without a robots row get the full budget.
+        delays = robots.select("host_id", "crawl_delay")
+        budget = F.when(
+            F.col("crawl_delay").isNull(), k_per_host
+        ).otherwise(
+            F.greatest(F.lit(1), F.floor(k_per_host / F.col("crawl_delay")))
+        )
+        return (
+            ranked.join(F.broadcast(delays), "host_id", "left")
+            .where(F.col("seq") <= budget)
+            .drop("crawl_delay")
+        )
+    return ranked.where(F.col("seq") <= k_per_host)
 
 
 def run_round(
@@ -159,7 +176,7 @@ def run_round(
             F.col("last_fetch_round") + cooldown_rounds > round_no
         ).select("host_id")
         frontier_in = frontier_in.join(F.broadcast(cool), "host_id", "left_anti")
-    batch = schedule_batch(frontier_in, round_no, k_per_host)
+    batch = schedule_batch(frontier_in, round_no, k_per_host, robots=robots)
 
     # 3. fetch = join against the synthetic web (J7). The batch is bounded
     # by k_per_host * active_hosts — broadcast it so the (arbitrarily

@@ -143,7 +143,7 @@ def simulate(
         batch: list[tuple[FrontierRow, int]] = []
         for h, rows in by_host.items():
             rows.sort(key=lambda x: (x.priority, x.disc_round, _md5(x.url), x.url))
-            picked_rows = rows[:k_per_host]
+            picked_rows = rows[: spec.host_budget(k_per_host, h)]
             if picked_rows:
                 last_fetch[h] = r
             for seq, row in enumerate(picked_rows, start=1):

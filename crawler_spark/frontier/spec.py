@@ -86,6 +86,21 @@ FAIL_REM = 13
 ROBOTS_MOD = 7         # hosts with host_id % ROBOTS_MOD == ROBOTS_REM ...
 ROBOTS_REM = 3
 ROBOTS_DISALLOW = "/apa/d/"   # ... disallow URLs containing this substring
+# robots crawl-delay (robots_checker.py caches RobotFileParser incl.
+# crawl_delay): hosts with host_id % DELAY_MOD == DELAY2_REM get delay 2,
+# == DELAY4_REM get delay 4; per-round budget = max(1, k // delay).
+DELAY_MOD = 11
+DELAY2_REM = 5
+DELAY4_REM = 9
+
+
+def host_budget(k_per_host: int, host_id: int) -> int:
+    """Python form of the per-host politeness budget (simulator/tests)."""
+    if host_id % DELAY_MOD == DELAY2_REM:
+        return max(1, k_per_host // 2)
+    if host_id % DELAY_MOD == DELAY4_REM:
+        return max(1, k_per_host // 4)
+    return k_per_host
 HOT_HOSTS = 3          # pages with p % 4 == 0 collapse onto hosts 0..HOT_HOSTS-1
 
 # ---- URL classes (synth.test flavor of property_matcher.py:17-26) ----

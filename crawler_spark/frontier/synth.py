@@ -58,17 +58,25 @@ def web_graph(
 
 
 def robots_dim(spark: SparkSession, n_hosts: int = spec.N_HOSTS) -> DataFrame:
-    """Robots dimension: one row per host WITH a rule (missing => allowed,
-    matching robots_checker.py:118-120 allow-by-default). Tiny — always
+    """Robots dimension: one row per host WITH a rule (missing => allowed
+    at full budget, matching robots_checker.py:118-120 allow-by-default).
+    Carries the disallow substring and the crawl_delay. Tiny — always
     broadcast at join sites."""
     h = F.col("id").cast("int")
+    disallow = F.when(
+        h % spec.ROBOTS_MOD == spec.ROBOTS_REM, spec.ROBOTS_DISALLOW
+    )
+    delay = (
+        F.when(h % spec.DELAY_MOD == spec.DELAY2_REM, 2)
+        .when(h % spec.DELAY_MOD == spec.DELAY4_REM, 4)
+        .otherwise(1)
+        .cast("int")
+    )
     return (
         spark.range(0, n_hosts)
-        .where(h % spec.ROBOTS_MOD == spec.ROBOTS_REM)
-        .select(
-            h.alias("host_id"),
-            F.lit(spec.ROBOTS_DISALLOW).alias("disallow"),
-        )
+        .select(h.alias("host_id"), disallow.alias("disallow"),
+                delay.alias("crawl_delay"))
+        .where(F.col("disallow").isNotNull() | (F.col("crawl_delay") > 1))
     )
 
 

@@ -72,6 +72,10 @@ frontier0 AS (
 ),
 seen0 AS (SELECT url FROM frontier0)"""]
 
+    budget = (
+        f"CASE WHEN host_id % 11 = 5 THEN {max(1, k // 2)} "
+        f"WHEN host_id % 11 = 9 THEN {max(1, k // 4)} ELSE {k} END"
+    )
     for r in range(1, rounds + 1):
         parts.append(f"""
 batch{r} AS (
@@ -80,7 +84,7 @@ batch{r} AS (
            PARTITION BY host_id
            ORDER BY priority, disc_round, md5(url), url) AS INT) AS seq
   FROM frontier{r-1} WHERE eligible_round <= {r}
-  QUALIFY seq <= {k}
+  QUALIFY seq <= {budget}
 ),
 fetched{r} AS (
   SELECT b.*, wu.p, wu.status FROM batch{r} b JOIN web_urls wu USING (url)

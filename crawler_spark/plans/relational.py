@@ -463,3 +463,80 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# API: price-band + property-type listing (api/main.py:93-141) — range +
+# equality predicates with pagination; predicates reach the parquet scan.
+# ---------------------------------------------------------------------------
+@register(
+    "properties_by_price_type",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 150000 AND o_orderstatus = 'O'
+    ORDER BY o_orderkey
+    LIMIT 25
+    """,
+)
+def properties_by_price_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(
+            F.col("o_totalprice").between(50000, 150000)
+            & (F.col("o_orderstatus") == "O")
+        )
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .orderBy("o_orderkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# API: by-city listing (api/main.py:251-266) — equality on a dimension
+# attribute via broadcast join (city ≙ nation name here).
+# ---------------------------------------------------------------------------
+@register(
+    "properties_by_city",
+    oracle="""
+    SELECT c.c_custkey, n.n_name AS city
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name = 'FRANCE'
+    ORDER BY c.c_custkey
+    LIMIT 50
+    """,
+)
+def properties_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .where(F.col("n_name") == "FRANCE")
+        .select("c_custkey", F.col("n_name").alias("city"))
+        .orderBy("c_custkey")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# API: by-id point lookup (api/main.py:269-283) — single-key predicate;
+# parquet min/max metrics prune row groups (Iceberg: file pruning).
+# ---------------------------------------------------------------------------
+@register(
+    "property_by_id",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders WHERE o_orderkey = 1988
+    """,
+)
+def property_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") == 1988).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )

@@ -128,3 +128,18 @@ def test_politeness_cooldown_golden(spark):
         by_round.setdefault(rr, set()).add(h)
     for rr in range(1, rounds):
         assert not (by_round.get(rr, set()) & by_round.get(rr + 1, set()))
+
+
+def test_crawl_delay_budget_bites(crawl_pair):
+    """Hosts with robots crawl_delay get a reduced per-round budget:
+    with k=2, delay-2/4 hosts (host%11 in {5,9}) never exceed seq 1
+    while unrestricted hosts do reach seq 2."""
+    _, sim = crawl_pair
+    max_seq = {}
+    for _, _, h, _, seq in sim.fetch_log:
+        max_seq[h] = max(max_seq.get(h, 0), seq)
+    delayed = {h for h in max_seq
+               if h % spec.DELAY_MOD in (spec.DELAY2_REM, spec.DELAY4_REM)}
+    assert delayed, "no delayed host ever scheduled — fixture too small"
+    assert all(max_seq[h] == 1 for h in delayed)
+    assert any(s == K for h, s in max_seq.items() if h not in delayed)
