@@ -193,3 +193,24 @@ def run_crawl_checkpointed(
             "metrics": metrics,
         }, extra={"k_per_host": k_per_host})
     return rounds
+
+
+def crawl_report(store: RoundStore) -> DataFrame:
+    """Per-round crawl summary joining the metrics, fetch-log and DLQ
+    deltas — the operational view the reference scattered across log
+    counters (logger.py:37-168) and Redis gauges."""
+    spark = store.spark
+    m = store.read_deltas("metrics")
+    log = store.read_deltas("fetch_log").groupBy("round").agg(
+        F.count("*").alias("n_scheduled"),
+        F.countDistinct("host_id").alias("n_hosts"),
+        F.max("seq").alias("max_seq_per_host"),
+    )
+    dlq = store.read_deltas("dlq").groupBy("round").agg(
+        F.count("*").alias("n_dlq"))
+    return (
+        m.join(log, "round", "left")
+        .join(dlq, "round", "left")
+        .na.fill(0, ["n_scheduled", "n_hosts", "n_dlq"])
+        .orderBy("round")
+    )

@@ -63,8 +63,8 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(f"""# BENCH — frontier round throughput & scaling
+    bench_md = os.path.join(REPO, "BENCH.md")
+    section = f"""# BENCH — frontier round throughput & scaling
 
 Job: one full frontier scheduling round (validity+relevance filter,
 in-wave dedupe, robots gate, exact anti-join vs a {a['n_urls']//2:,}-URL
@@ -85,7 +85,18 @@ on one box under-reports cluster scaling: shared memory bandwidth, one
 shuffle service, one JVM heap).
 
 Reproduce: `python scripts/scaling_bench.py {scale} {low} {high}`
-""")
+"""
+    # replace only the headline scaling section (it contains no '## '
+    # headings); appended sections from other benches start at the first
+    # '\n## ' and are preserved.
+    tail = ""
+    if os.path.exists(bench_md):
+        old = open(bench_md).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
+    with open(bench_md, "w") as f:
+        f.write(section + tail)
 
 
 if __name__ == "__main__":
