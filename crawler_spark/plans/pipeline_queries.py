@@ -397,3 +397,74 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 50)
     return ivf_topk(e, q, "vec_id", "embedding", k=5, n_cells=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup DEDUP: threshold pairs over a bounded slice +
+# min-id representative election (drop row -> kept row). The 0.35
+# threshold is calibrated to this synthetic corpus (max pairwise cos
+# ~0.46); real corpora use ~0.9+. Scale path: LSH/IVF candidates feed the
+# same threshold+representative stage instead of the bounded cross join.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_near_dup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ), nd AS (
+      SELECT id_a, id_b FROM pairs WHERE cos >= 0.35
+    )
+    SELECT id_b AS dup_id, CAST(MIN(id_a) AS BIGINT) AS kept_id
+    FROM nd GROUP BY id_b
+    """.format(
+        dot_ab=_DOT.format(a="a.embedding", b="b.embedding"),
+        dot_aa=_DOT.format(a="a.embedding", b="a.embedding"),
+        dot_bb=_DOT.format(a="b.embedding", b="b.embedding"),
+    ),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", SIM.cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= 0.35)
+    )
+    return pairs.groupBy(F.col("id_b").alias("dup_id")).agg(
+        F.min("id_a").alias("kept_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash bucket near-dup candidates: identical 16-bit simhash => pair.
+# Per-row signature (zero shuffle) + one equi-join on the bucket value —
+# the hash-bucket analogue of the MinHash band join.
+# ---------------------------------------------------------------------------
+@register(
+    "simhash_bucket_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id < 800
+    ), sh AS (
+      SELECT doc_id, CAST({bits} AS INT) AS simhash FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
+    FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """.format(bits=_SIMHASH_BIT_SQL),
+)
+def simhash_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 800)
+    sh = d.select("doc_id", DD.simhash16(F.col("text")).alias("simhash"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "simhash")
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, (F.col("simhash") == F.col("sh_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "simhash")
+    )
