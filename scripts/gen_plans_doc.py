@@ -1,0 +1,67 @@
+"""Regenerate PLANS.md — formatted physical plans of the three core jobs
+with commentary. Automated assertions live in tests/test_physical_plans.py."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from crawler_spark.session import get_spark  # noqa: E402
+from crawler_spark.frontier import synth  # noqa: E402
+from crawler_spark.frontier.engine import enqueue, schedule_batch  # noqa: E402
+
+
+def main() -> None:
+    spark = get_spark("plans", cores=8, shuffle_partitions=8)
+    out = ["""# PLANS — physical-plan audit of the three core jobs
+
+`df.explain("formatted")` output with commentary; regenerate with
+`python scripts/gen_plans_doc.py` (this file). Automated guards live in
+tests/test_physical_plans.py — this document is the human-readable tour.
+"""]
+
+    def cap(title, df, notes):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        out.append(f"## {title}\n\n{notes}\n\n```\n{plan[:4000]}\n```\n")
+
+    web = synth.web_graph(spark, 20000, 50)
+    robots = synth.robots_dim(spark, 50)
+    seeds = synth.seed_urls(spark, 20000, 10, 50)
+    empty_seen = seeds.select("url").limit(0)
+
+    rows = enqueue(seeds.select("url"), empty_seen, robots, 0)
+    cap("Enqueue (validity -> relevance -> priority -> robots gate -> dedupe)",
+        rows,
+        "What to see: ONE projection/filter stage fuses every predicate and the\n"
+        "priority expression (whole-stage codegen, `*(n)` markers); the robots\n"
+        "gate is a BroadcastHashJoin (no shuffle of the candidate side); the\n"
+        "first-discovery anti-join is the only exchange.")
+
+    batch = schedule_batch(rows, 1, 3, robots=robots)
+    cap("Schedule (salted two-phase per-host top-k + crawl_delay budgets)",
+        batch,
+        "What to see: two Window stages — partitionBy(host, salt) then\n"
+        "partitionBy(host) over the <=k*salt survivors — and a BroadcastHashJoin\n"
+        "for the crawl_delay budget. No CartesianProduct anywhere; the hot-host\n"
+        "skew is spread across salt_buckets tasks in phase 1.")
+
+    fetched = web.select("url", "page_id", "kind", "status", "outlinks",
+                         "image_id").join(F.broadcast(batch), "url", "inner")
+    cap("Fetch join (web streams, batch broadcast)",
+        fetched,
+        "What to see: the 20k-row (at scale: 10^10-row) web side is scanned\n"
+        "once with NO exchange — the bounded batch is the broadcast build side.\n"
+        "This is why a round's cost is O(web scan) not O(web shuffle).")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    open(os.path.join(repo, "PLANS.md"), "w").write("\n".join(out))
+    print("PLANS.md written")
+
+
+if __name__ == "__main__":
+    main()
