@@ -116,3 +116,18 @@ def windowed_event_counts(events: DataFrame, slide: str | None = None) -> DataFr
             "event_type", "n", "sum_value",
         )
     )
+
+
+def session_event_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Event-time SESSION windows (dynamic gap-based) per user with a
+    2-hour watermark — streaming-compatible sessionization (the batch
+    lag-based form is plans/ `sessionization`)."""
+    wm = events.withColumn("ts", F.col("ts").cast("timestamp")) \
+               .withWatermark("ts", "2 hours")
+    return (
+        wm.groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "user_id", "n_events")
+    )

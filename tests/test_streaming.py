@@ -134,3 +134,36 @@ def test_stateful_politeness_gate(spark, tmp_path):
         "https://h2.synth.test/a": True,
         "https://h2.synth.test/b": True,
     }
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """session_window over a 2-chunk file stream == the batch run."""
+    from crawler_spark.streaming.rounds import session_event_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "sess_stream")
+    events.where(F.col("event_id") % 2 == 0).write.parquet(src, mode="append")
+    events.where(F.col("event_id") % 2 == 1).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2").parquet(src)
+    )
+    q = (
+        session_event_counts(stream)
+        .writeStream.format("memory").queryName("sesswin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r["session_start"], r["user_id"]): r["n_events"]
+           for r in spark.sql("select * from sesswin").collect()}
+    want = {(r["session_start"], r["user_id"]): r["n_events"]
+            for r in session_event_counts(events).collect()}
+    assert got
+    for k, v in got.items():
+        assert want[k] == v  # every emitted session matches batch exactly
+    assert len(got) >= len(want) * 0.8  # only the watermark tail held back
