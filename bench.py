@@ -36,6 +36,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "embedding_cosine_topk",
     "token_counts",
+    "image_payload_verify",
 ]
 
 

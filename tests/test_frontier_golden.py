@@ -143,3 +143,20 @@ def test_crawl_delay_budget_bites(crawl_pair):
     assert delayed, "no delayed host ever scheduled — fixture too small"
     assert all(max_seq[h] == 1 for h in delayed)
     assert any(s == K for h, s in max_seq.items() if h not in delayed)
+
+
+def test_golden_alt_parameters(spark):
+    """Parity holds under a different shape: k=4, 3 seeds, 37 hosts
+    (different robots/delay host coverage), 3 rounds."""
+    n_pages, n_hosts, n_seeds, rounds, k = 1500, 37, 3, 3, 4
+    web = synth.web_graph(spark, n_pages, n_hosts)
+    robots = synth.robots_dim(spark, n_hosts)
+    seeds = synth.seed_urls(spark, n_pages, n_seeds, n_hosts)
+    state = run_crawl(spark, web, seeds, robots, rounds=rounds, k_per_host=k)
+    sim = simulator.simulate(n_pages, n_seeds, rounds, k, n_hosts)
+    got = sorted(
+        (r["round"], r["priority"], r["host_id"], r["url"], r["seq"])
+        for r in fetch_log_df(state).collect()
+    )
+    assert got == sorted(sim.fetch_log)
+    assert {r["url"] for r in state.seen.collect()} == sim.seen
