@@ -95,7 +95,9 @@ class RoundStore:
         rounds = [r for r in self.committed_rounds() if upto is None or r <= upto]
         paths = [self._dir(table, r) for r in rounds
                  if os.path.isdir(self._dir(table, r))]
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: later rounds may widen a delta table (e.g. pages
+        # gaining payload columns) — schema evolution like Iceberg's.
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 # -- checkpointed crawl loop ----------------------------------------------
@@ -137,10 +139,17 @@ def run_crawl_checkpointed(
     bloom_buckets: int = 16,
     bloom_capacity: int = 100_000,
     cooldown_rounds: int = 1,
+    images: DataFrame | None = None,
 ) -> int:
     """Run (or RESUME) a crawl to ``rounds`` total rounds. Each round reads
     state from the last commit and writes one new commit — a crash between
     commits loses nothing; rerunning is idempotent.
+
+    ``images``: optional image+caption payload table (images.py schema).
+    When given, each round's pages delta carries the binary payload columns
+    (bytes, w, h, fmt, caption, phash) — the content store IS the table
+    (no side files, reference file_storage.py:279-293 replaced). The small
+    fetched-pages side is broadcast so the payload table streams.
 
     Returns the last committed round number.
     """
@@ -188,12 +197,26 @@ def run_crawl_checkpointed(
             F.lit(r).alias("round"), "n_batch", "n_fetched",
             "n_parts", "max_part_rows",
         )
+        pages_delta = state.pages[-1]
+        if images is not None:
+            # broadcast-inner on the bounded fetched side (an outer join
+            # can't broadcast its preserved side), then union listings
+            # (null image_id) back with null payload columns.
+            payload = images.select(
+                F.col("image_id").cast("long").alias("image_id"),
+                "bytes", "w", "h", "fmt", "caption", "phash",
+            )
+            props = pages_delta.where(F.col("image_id").isNotNull())
+            listings = pages_delta.where(F.col("image_id").isNull())
+            pages_delta = payload.join(
+                F.broadcast(props), "image_id", "inner"
+            ).unionByName(listings, allowMissingColumns=True)
         store.commit(r, {
             "frontier": state.frontier,
             "seen": state.seen,
             "hosts": state.hosts,
             "fetch_log": state.fetch_log[-1],
-            "pages": state.pages[-1],
+            "pages": pages_delta,
             "dlq": state.dlq[-1],
             "metrics": metrics,
         }, extra={"k_per_host": k_per_host})

@@ -111,3 +111,35 @@ def test_commit_replay_idempotent(spark, tmp_path):
 
     assert _log_rows(st) == before
     assert {r["url"] for r in st.read("seen", 2).collect()} == seen_before
+
+
+def test_crawl_with_binary_payload(spark, tmp_path):
+    """Content-store-as-a-table: crawled property pages carry the binary
+    image payload; stored bytes decode to PSNR>=40dB and captions match."""
+    from crawler_spark.frontier import images as I
+
+    st = RoundStore(spark, str(tmp_path / "payload"))
+    web = synth.web_graph(spark, N_PAGES, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, N_PAGES, N_SEEDS, N_HOSTS)
+    imgs = I.images_table(spark, N_PAGES).localCheckpoint()
+    run_crawl_checkpointed(st, web, robots, 3, K, seeds=seeds, images=imgs)
+
+    pages = st.read_deltas("pages")
+    props = pages.where(pages.kind == "property")
+    n_props = props.count()
+    assert n_props > 0
+    assert props.where(props.bytes.isNull()).count() == 0
+    # decoded invariants on the STORED bytes
+    from pyspark.sql import functions as F
+    v = I.verify_payload(
+        props.select(
+            F.col("image_id").cast("string").alias("image_id"),
+            "bytes", "w", "h", "fmt", "caption", "phash")
+    )
+    bad = v.where((F.col("psnr_db") < 40.0) | ~F.col("caption_ok")
+                  | ~F.col("phash_ok")).count()
+    assert bad == 0
+    # listings carry no payload but stay in the table
+    assert pages.where(pages.kind == "listing")\
+                .where(pages.bytes.isNotNull()).count() == 0
