@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--k-per-host", type=int, default=3)
     ap.add_argument("--use-bloom", action="store_true")
+    ap.add_argument("--with-payload", action="store_true",
+                    help="carry image+caption binary payload into pages")
+    ap.add_argument("--cooldown-rounds", type=int, default=1)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,10 +58,16 @@ def main() -> None:
     store = RoundStore(spark, args.warehouse)
     resumed_from = store.latest_round()
     t0 = time.perf_counter()
+    images = None
+    if args.with_payload:
+        from crawler_spark.frontier.images import images_table
+        images = images_table(spark, args.n_pages)
     run_crawl_checkpointed(
         store, web, robots, args.rounds, args.k_per_host,
         seeds=None if resumed_from is not None else seeds,
         use_bloom=args.use_bloom,
+        cooldown_rounds=args.cooldown_rounds,
+        images=images,
     )
     dt = time.perf_counter() - t0
 
