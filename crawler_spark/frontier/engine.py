@@ -194,6 +194,10 @@ def run_round(
         fetched = batch.join(web_cols, "url", "inner")
     ok = fetched.where(F.col("status") == 200)
     failed = fetched.where(F.col("status") != 200)
+    # batch URLs absent from the web table (dead links): they can never
+    # resolve, so they go straight to the DLQ instead of silently
+    # vanishing. fetched is small -> broadcast anti-join.
+    dead = batch.join(F.broadcast(fetched.select("url")), "url", "left_anti")
 
     # 4. golden fetch-order log + pages
     log_delta = batch.select(
@@ -219,6 +223,8 @@ def run_round(
     requeue = failed_next.where(F.col("retry_count") <= max_retries)
     dlq_delta = failed_next.where(F.col("retry_count") > max_retries).select(
         F.lit(round_no).cast("int").alias("round"), *FRONTIER_COLS
+    ).unionByName(
+        dead.select(F.lit(round_no).cast("int").alias("round"), *FRONTIER_COLS)
     )
 
     # 7. frontier' = (frontier - batch) ∪ new ∪ requeues ; seen' ∪= new

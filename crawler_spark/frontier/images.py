@@ -170,20 +170,22 @@ def verify_payload(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
 def phash_near_dupes(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-duplicate image pairs by phash Hamming distance.
 
-    Scale path: band-bucket the 64-bit phash into 4x16-bit bands (any pair
-    within Hamming distance <= 6 of a 64-bit hash shares at least one exact
-    16-bit band when distances spread across bands — the standard LSH
-    banding argument); candidate pairs join per band, then the exact
-    popcount residual filters. Avoids the O(n^2) cross join."""
+    Scale path: band-bucket the 64-bit phash into 8x8-bit bands. By
+    pigeonhole, any pair within Hamming distance <= 7 differs in at most 7
+    bands and therefore shares at least one exact band — so recall is
+    GUARANTEED for the default max_hamming=6 (4x16-bit bands would only
+    guarantee distance <= 3). Candidate pairs join per band; the exact
+    popcount residual filters. Avoids the O(n^2) cross join; narrower
+    bands trade more candidate collisions for the recall guarantee."""
     bands = images.select(
         "image_id", "phash",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftright("phash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    F.shiftright("phash", 8 * i).bitwiseAND(F.lit(0xFF)).alias("val"),
                 )
-                for i in range(4)
+                for i in range(8)
             ])
         ).alias("b"),
     ).select("image_id", "phash", "b.band", "b.val")

@@ -155,8 +155,10 @@ def simulate(
         new_links: set[str] = set()
         for row, seq in batch:
             res.fetch_log.append((r, row.priority, row.host_id, row.url, seq))
-            p = page_of_url[row.url]
-            if status_of(p) == 200:
+            p = page_of_url.get(row.url)
+            if p is None:  # dead link: not in the web -> straight to DLQ
+                res.dlq.append((r, row.url))
+            elif status_of(p) == 200:
                 res.pages.append((r, row.url, p))
                 new_links.update(outlinks(p, n_pages, n_hosts))
             else:

@@ -64,10 +64,20 @@ class RoundStore:
             path = self._dir(name, round_no)
             df.write.mode("overwrite").parquet(path)
             written[name] = path
+        # merge with an existing manifest for this round (partial re-commits
+        # like the streaming seed inbox must not unlist other tables)
+        prior_tables, prior_extra = {}, {}
+        if os.path.exists(self._manifest(round_no)):
+            with open(self._manifest(round_no)) as f:
+                prior = json.load(f)
+            prior_tables = prior.get("tables", {})
+            prior_extra = {k: v for k, v in prior.items()
+                           if k not in ("round", "tables", "committed_at")}
         manifest = {
             "round": round_no,
-            "tables": written,
+            "tables": {**prior_tables, **written},
             "committed_at": time.time(),
+            **prior_extra,
             **(extra or {}),
         }
         tmp = self._manifest(round_no) + ".tmp"
@@ -208,9 +218,16 @@ def run_crawl_checkpointed(
             )
             props = pages_delta.where(F.col("image_id").isNotNull())
             listings = pages_delta.where(F.col("image_id").isNull())
-            pages_delta = payload.join(
-                F.broadcast(props), "image_id", "inner"
-            ).unionByName(listings, allowMissingColumns=True)
+            joined = payload.join(F.broadcast(props), "image_id", "inner")
+            # pages whose image_id has no payload row must NOT vanish —
+            # keep them with null payload columns (joined is small, so the
+            # anti-join is broadcast-cheap).
+            uncovered = props.join(
+                F.broadcast(joined.select("image_id")), "image_id", "left_anti"
+            )
+            pages_delta = joined.unionByName(
+                listings, allowMissingColumns=True
+            ).unionByName(uncovered, allowMissingColumns=True)
         store.commit(r, {
             "frontier": state.frontier,
             "seen": state.seen,

@@ -94,4 +94,8 @@ def seed_urls(
     df = spark.range(0, n_seeds).select((F.col("id") * 10 % n_pages).alias("p"))
     p = F.col("p")
     host = spec.host_id_of_page(p, n_hosts)
-    return df.select(spec.url_of(p, host, F.lit(True)).alias("url")).distinct()
+    # kind derives from the wrapped page id: when n_pages is not a
+    # multiple of 10 a seed can land on a property page, and the URL must
+    # be that page's real URL (else it joins nothing in the web table and
+    # diverges from the simulator/oracle).
+    return df.select(spec.url_of(p, host, p % 10 == 0).alias("url")).distinct()

@@ -42,7 +42,6 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def stopword_count(text: Column) -> Column:
-    in_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     return F.size(F.filter(tokens(text), lambda t: t.isin(*EN_STOPWORDS)))
 
 
@@ -57,7 +56,9 @@ def lang_guess(text: Column) -> Column:
 
 
 def punct_count(text: Column) -> Column:
-    return F.size(F.regexp_extract_all(text, F.lit("[^a-z0-9 ]")))
+    # group index 0 is required: the pattern has no capture groups and
+    # PySpark's default group index is 1 (throws at runtime).
+    return F.size(F.regexp_extract_all(text, F.lit("[^a-z0-9 ]"), F.lit(0)))
 
 
 def quality_score(text: Column, n_chars: Column) -> Column:

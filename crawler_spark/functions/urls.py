@@ -37,6 +37,7 @@ def _canon_one(base: str | None, href: str | None) -> str | None:
     try:
         absolute = urljoin(base, href) if base else href
         parts = urlsplit(absolute)
+        port = parts.port  # raises ValueError on ':99999' / ':8o8' ports
     except ValueError:
         return None
     scheme = parts.scheme.lower()
@@ -53,8 +54,8 @@ def _canon_one(base: str | None, href: str | None) -> str | None:
     except ValueError:
         pass  # not an IP literal
     netloc = host
-    if parts.port is not None and parts.port != _DEFAULT_PORTS.get(scheme):
-        netloc = f"{host}:{parts.port}"
+    if port is not None and port != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
     path = parts.path or ""
     if path.endswith("/") and path != "/":
         path = path.rstrip("/")
@@ -82,14 +83,19 @@ def canonicalize(base, href) -> Column:
 
 def canonicalize_native(url: Column) -> Column:
     """Catalyst-native subset for already-absolute URLs: drop fragment,
-    lowercase scheme+host, strip trailing slash. Used where no base-href
-    resolution is needed (seed ingestion) — zero Python."""
+    lowercase scheme+host, strip ALL trailing slashes off a non-root path
+    (matching `_canon_one`'s rstrip). NOT handled here (use the UDF when
+    these can occur): base-href resolution, default-port stripping,
+    userinfo, private-IP / scheme rejection — mixing the two paths on such
+    URLs would defeat dedupe, so route any one corpus through one path."""
     u = F.regexp_replace(url, r"#.*$", "")
     return F.concat(
         F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1)),
         F.lit("://"),
         F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1)),
-        F.regexp_replace(F.regexp_replace(u, r"^[A-Za-z]+://[^/?#]+", ""), r"^(/.*[^/])/$", r"$1"),
+        F.regexp_replace(
+            F.regexp_replace(u, r"^[A-Za-z]+://[^/?#]+", ""),
+            r"(?<=[^/])/+$", ""),
     )
 
 

@@ -185,3 +185,32 @@ def verify_pairs_jaccard(
     return joined.select(
         "id_a", "id_b", inter.alias("n_intersect"), union.alias("n_union")
     )
+
+
+def simhash16_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """DataFrame-level simhash16: one md5 per distinct token (explode ->
+    codegen md5 -> conditional-sum agg), identical values to
+    ``simhash16``'s 16-aggregate column form at ~1/16th the hash cost
+    (the column form recomputes md5(t) inside every bit's aggregate, and
+    HOF lambda bodies are interpreted — see minhash note above).
+
+    Returns (id_col, simhash int)."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("_t"),
+    ).select("_id", F.md5("_t").alias("_d"))
+    sums = ex.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.instr(F.lit(HEX), F.substring("_d", i + 1, 1)) - 1 >= 8, 1
+                ).otherwise(-1)
+            ).alias(f"_s{i}")
+            for i in range(16)
+        ]
+    )
+    sh = None
+    for i in range(16):
+        bit = F.when(F.col(f"_s{i}") > 0, F.lit(2**i)).otherwise(0)
+        sh = bit if sh is None else sh + bit
+    return sums.select(F.col("_id").alias(id_col), sh.cast("int").alias("simhash"))

@@ -171,7 +171,7 @@ _SIMHASH_BIT_SQL = " + ".join(
 )
 def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", DD.simhash16(F.col("text")).alias("simhash"))
+    return DD.simhash16_agg(d, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -460,7 +460,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 800)
-    sh = d.select("doc_id", DD.simhash16(F.col("text")).alias("simhash"))
+    sh = DD.simhash16_agg(d, "doc_id", "text")
     a = sh.select(F.col("doc_id").alias("id_a"), "simhash")
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
     return (

@@ -160,3 +160,45 @@ def test_golden_alt_parameters(spark):
     )
     assert got == sorted(sim.fetch_log)
     assert {r["url"] for r in state.seen.collect()} == sim.seen
+
+
+def test_golden_web_not_multiple_of_ten(spark):
+    """Seeds wrap onto property pages when n_pages % 10 != 0 — the seed
+    URL must be the page's real URL (regression: listing-forced seed URLs
+    joined nothing in the web and diverged from the simulator)."""
+    n_pages, n_seeds, rounds, k = 95, 12, 2, 2
+    web = synth.web_graph(spark, n_pages, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, n_pages, n_seeds, N_HOSTS)
+    state = run_crawl(spark, web, seeds, robots, rounds=rounds, k_per_host=k)
+    sim = simulator.simulate(n_pages, n_seeds, rounds, k, N_HOSTS)
+    got = sorted(
+        (r["round"], r["priority"], r["host_id"], r["url"], r["seq"])
+        for r in fetch_log_df(state).collect()
+    )
+    assert got == sorted(sim.fetch_log)
+    assert len(got) > 0
+
+
+def test_dead_link_routes_to_dlq(spark):
+    """A scheduled URL absent from the web table must land in the DLQ —
+    not silently vanish (regression)."""
+    from pyspark.sql import functions as F
+    from crawler_spark.frontier.engine import (
+        CrawlState, FRONTIER_COLS, enqueue, run_round)
+
+    web = synth.web_graph(spark, 100, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    # valid-looking property URL for page 5004 (host 0: not robots-blocked)
+    # — not in the 100-page web
+    dead_url = simulator.url_of(5004, N_HOSTS)
+    seeds = spark.createDataFrame([(dead_url,)], "url string")
+    first = enqueue(seeds, seeds.limit(0), robots, 0)
+    state = CrawlState(first.select(*FRONTIER_COLS).localCheckpoint(),
+                       first.select("url").localCheckpoint())
+    state, batch = run_round(spark, state, web, robots, 1, 2,
+                             collect_metrics=False)
+    assert batch.count() == 1                      # it was scheduled
+    dlq = [r["url"] for r in state.dlq[0].collect()]
+    assert dlq == [dead_url]                       # ...and DLQ'd
+    assert state.frontier.where(F.col("url") == dead_url).count() == 0

@@ -56,20 +56,15 @@ def test_phash_near_dupes_finds_self_similar(spark, imgs):
     them without a cross join."""
     pairs = I.phash_near_dupes(imgs, max_hamming=6)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
-    # ids p and p+256 share r,g channels mod 256 -> tiny hamming distance
+    # ids p and p+256 share r,g channels mod 256 -> tiny hamming distance;
+    # with 8x8-bit bands, EVERY pair at distance <= 6 is guaranteed found
+    # (pigeonhole: <= 7 differing bits cannot touch all 8 bands).
     expected_some = 0
     for p in range(0, N - 256):
-        a = I._phash(I._pixels(p, 32, 32))
-        b = I._phash(I._pixels(p + 256, 32, 32))
-        if bin(np.uint64(a ^ b).item() if a >= 0 and b >= 0 else (a ^ b) & (2**64 - 1)).count("1") <= 6:
-            key = tuple(sorted((str(p), str(p + 256)), key=lambda s: s))
+        a = I._phash(I._pixels(p, 32, 32)) & (2**64 - 1)
+        b = I._phash(I._pixels(p + 256, 32, 32)) & (2**64 - 1)
+        if bin(a ^ b).count("1") <= 6:
             expected_some += 1
-            # band-LSH guarantee needs one exact 16-bit band; verify found
-            ha, hb = a & (2**64 - 1), b & (2**64 - 1)
-            shares_band = any(
-                (ha >> (16 * i)) & 0xFFFF == (hb >> (16 * i)) & 0xFFFF
-                for i in range(4)
-            )
-            if shares_band:
-                assert key in got or (key[1], key[0]) in got
+            key = tuple(sorted((str(p), str(p + 256))))
+            assert key in got or (key[1], key[0]) in got
     assert expected_some > 0

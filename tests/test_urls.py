@@ -65,6 +65,7 @@ def test_native_subset_agrees_with_udf(spark):
     urls = [
         "HTTPS://Example.COM/Path/Sub/",
         "https://example.com/a#frag",
+        "https://example.com/a//",
         "https://h3.synth.test/apa/d/item-7/7.html",
         "https://example.com/x?q=1#f",
     ]
@@ -82,3 +83,8 @@ def test_url_hash64_is_native_and_stable(spark):
     v1 = df.select(url_hash64(F.col("url")).alias("h")).collect()[0]["h"]
     v2 = df.select(F.xxhash64("url").alias("h")).collect()[0]["h"]
     assert v1 == v2 and isinstance(v1, int)
+
+
+def test_canonicalize_rejects_bad_ports():
+    assert _canon_one(None, "https://example.com:99999/x") is None
+    assert _canon_one(None, "https://example.com:8o8/x") is None
