@@ -60,14 +60,13 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
+        fn = QUERIES[name]  # a rename must fail loudly, not skew the bench
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
         per_query[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        if n <= 0:
+            raise RuntimeError(f"headline query {name} returned {n} rows")
 
     # North-rule headline: one frontier scheduling round over a synthetic
     # expansion (~4M candidate URLs at sf0.1-equivalent scale), reporting

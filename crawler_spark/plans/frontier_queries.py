@@ -22,26 +22,30 @@ from .registry import register
 # Shared URL synthesis (both engines build identical strings).
 # ---------------------------------------------------------------------------
 
+# page id = o_orderkey % 4000: multiple orders map to the SAME URL, so
+# the dedupe stage genuinely removes rows (a vacuous dedupe input would
+# let a broken first-discovery window pass the oracle unnoticed).
 URLS_SQL = (
     "SELECT o_orderkey, "
-    "'https://host' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com/page/' "
-    "|| CAST(o_orderkey AS VARCHAR) AS url, "
-    "'host' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com' AS host, "
-    "CAST(o_orderkey % 5 + 1 AS INT) AS priority "
+    "'https://host' || CAST((o_orderkey % 4000) % 50 AS VARCHAR) "
+    "|| '.example.com/page/' || CAST(o_orderkey % 4000 AS VARCHAR) AS url, "
+    "'host' || CAST((o_orderkey % 4000) % 50 AS VARCHAR) || '.example.com' AS host, "
+    "CAST(o_orderkey % 4000 % 5 + 1 AS INT) AS priority "
     "FROM orders"
 )
 
 
 def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    host = F.concat(F.lit("host"), (F.col("o_custkey") % 50).cast("string"),
+    page = F.col("o_orderkey") % 4000
+    host = F.concat(F.lit("host"), (page % 50).cast("string"),
                     F.lit(".example.com"))
     return o.select(
         "o_orderkey",
         F.concat(F.lit("https://"), host, F.lit("/page/"),
-                 F.col("o_orderkey").cast("string")).alias("url"),
+                 page.cast("string")).alias("url"),
         host.alias("host"),
-        (F.col("o_orderkey") % 5 + 1).cast("int").alias("priority"),
+        (page % 5 + 1).cast("int").alias("priority"),
     )
 
 
@@ -155,6 +159,9 @@ NOISY_SQL = (
 )
 
 
+from ..frontier import spec as _spec  # single source of the validity rule
+
+
 @register(
     "filter_validity",
     oracle="""
@@ -162,10 +169,10 @@ NOISY_SQL = (
     SELECT doc_id, url FROM noisy
     WHERE regexp_matches(url, '^https?://')
       AND NOT regexp_matches(url, '\\.\\.')
-      AND NOT regexp_matches(lower(url),
-          '\\.(pdf|jpg|jpeg|png|gif|zip|exe|dmg|mp3|mp4|avi)$')
-      AND length(url) <= 2000
-    """.format(noisy=NOISY_SQL),
+      AND NOT regexp_matches(lower(url), '{skip_ext}')
+      AND length(url) <= {max_len}
+    """.format(noisy=NOISY_SQL, skip_ext=_spec.SKIP_EXT_RE,
+               max_len=_spec.MAX_URL_LEN),
 )
 def filter_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -181,10 +188,8 @@ def filter_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.where(
         F.col("url").rlike(r"^https?://")
         & ~F.col("url").rlike(r"\.\.")
-        & ~F.lower(F.col("url")).rlike(
-            r"\.(pdf|jpg|jpeg|png|gif|zip|exe|dmg|mp3|mp4|avi)$"
-        )
-        & (F.length("url") <= 2000)
+        & ~F.lower(F.col("url")).rlike(_spec.SKIP_EXT_RE)
+        & (F.length("url") <= _spec.MAX_URL_LEN)
     )
 
 
@@ -429,7 +434,7 @@ LISTING_TEXT_SQL = (
            CAST(regexp_extract(listing, '([0-9]+)ft2', 1) AS INT) AS sqft,
            regexp_extract(listing, 'in (city[0-9]+)', 1) AS city
     FROM t
-    """.format(t=LISTING_TEXT_SQL.replace("'", "'")),
+    """.format(t=LISTING_TEXT_SQL),
 )
 def parse_listing_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

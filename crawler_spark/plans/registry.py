@@ -28,6 +28,10 @@ def register(name: str, oracle: str | None = None):
     """Decorator: register a query plan and (optionally) its oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} — a silent "
+                "overwrite could pair the new plan with a stale oracle")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -52,12 +52,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
 
     Everything here is a runtime conf: safe to set after JVM start.
     """
+    # Correctness-critical confs set UNGUARDED (both are runtime-settable
+    # on every Spark build): a swallowed failure here would silently skew
+    # every timestamp oracle / Arrow batch instead of erroring loudly.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     conf = {
-        # Oracle comparability: DuckDB timestamps are UTC-naive.
-        "spark.sql.session.timeZone": "UTC",
-        # Arrow transfer for pandas UDFs / toPandas — the only sanctioned
-        # Python boundary in this engine (no per-row Python UDFs).
-        "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Bound Arrow batch memory when rows carry binary image payloads
         # (10KB-1MB each): 2k rows/batch keeps batches << executor memory.
         "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
