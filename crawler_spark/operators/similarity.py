@@ -135,6 +135,70 @@ def lsh_ann_topk(
     )
 
 
+def lsh_bands_udf(n_tables: int, n_planes: int, dim: int, seed: int = 7):
+    """pandas UDF: embedding -> array of ``n_tables`` bucket ids (one
+    banded hyperplane table per entry). One matmul over ALL tables' planes
+    per Arrow batch — a single UDF pass replaces n_tables separate ones."""
+    planes = _hyperplanes(n_tables * n_planes, dim, seed)
+
+    @F.pandas_udf("array<long>")
+    def bands(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        signs = (m @ planes.T) > 0              # (batch, n_tables*n_planes)
+        signs = signs.reshape(len(m), n_tables, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).tolist())
+
+    return bands
+
+
+def near_dup_ann(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate dedup, the 100 TB path wired end-to-end:
+    LSH candidates -> exact cosine threshold verify -> min-id
+    representative election (dup row -> kept row).
+
+    Candidates are the union over ``n_tables`` banded hyperplane tables of
+    same-bucket pairs — one posexplode + one equi-join on (table, bucket),
+    never an all-pairs product. Verification (exact JVM-side cosine) runs
+    on candidate pairs only. Recall is the standard OR-of-bands
+    1-(1-p^B)^T curve; for positively-scaled duplicate vectors recall is
+    exactly 1 for any planes (scaling preserves every projection sign).
+    Replaces the bounded cross join of `embedding_near_dup` at scale.
+    """
+    bands = lsh_bands_udf(n_tables, n_planes, dim, seed)
+    sig = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.posexplode(bands(F.col(vec_col))).alias("table", "bucket"),
+    )
+    a = sig.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), "table", "bucket"
+    )
+    b = sig.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "table", "bucket"
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.withColumn(
+        "cos", cosine(F.col("va"), F.col("vb"))
+    ).where(F.col("cos") >= threshold)
+    return verified.groupBy(F.col("id_b").alias("dup_id")).agg(
+        F.min("id_a").alias("kept_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse quantization into cells, search probes
 # the nprobe nearest cells only. The centroid table is tiny (C x dim) and
@@ -144,23 +208,57 @@ def lsh_ann_topk(
 # ---------------------------------------------------------------------------
 
 def sample_centroids(
-    corpus: DataFrame, id_col: str, vec_col: str, n_cells: int
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    lloyd_iters: int = 1,
 ) -> np.ndarray:
-    """Deterministic centroid init: evenly-strided sample by id rank.
-    (Lloyd refinement is a straightforward extension — each iteration is
-    one groupBy(cell).avg(); sampled centroids are sufficient for the
-    recall targets tested here.)"""
-    ranked = corpus.select(
-        F.col(vec_col).alias("v"),
-        F.row_number().over(W.orderBy(F.col(id_col))).alias("rn"),
-    )
-    n = ranked.count()
-    stride = max(n // n_cells, 1)
+    """Deterministic, scale-safe centroid init.
+
+    Init: the ``n_cells`` rows with the smallest ``xxhash64(id)``. Hash
+    order is a uniform pseudo-random (yet seedless-deterministic) shuffle
+    of the corpus, and ``orderBy().limit(n)`` compiles to
+    TakeOrderedAndProject — a per-partition local top-k merged on the
+    driver. No global sort, no single-partition Exchange, no full-corpus
+    ``collect()`` (the round-1 form ranked the whole corpus through one
+    ``row_number`` window — a single-partition sort that dies at 100 TB).
+
+    Refinement: ``lloyd_iters`` Lloyd steps, each one distributed pass —
+    Arrow-batched nearest-cell assignment + ``groupBy(cell, dim).avg``;
+    only the C x dim means table is collected. Empty cells keep their
+    previous centroid.
+    """
     rows = (
-        ranked.where((F.col("rn") % stride == 0) & (F.col("rn") / stride <= n_cells))
-        .orderBy("rn").collect()
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
     )
-    return np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows[:n_cells]])
+    cent = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    dim = cent.shape[1]
+    for _ in range(lloyd_iters):
+        assign = cell_assign_udf(cent, nprobe=1)
+        means = (
+            corpus.select(
+                F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        nxt = cent.copy()
+        by_cell: dict[int, np.ndarray] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], np.zeros(dim))[r["pos"]] = r["m"]
+        for cell, v in by_cell.items():
+            nxt[cell] = v
+        cent = nxt
+    return cent
 
 
 def cell_assign_udf(centroids: np.ndarray, nprobe: int = 1):

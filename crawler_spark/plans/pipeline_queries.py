@@ -343,7 +343,7 @@ def blocked_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -355,9 +355,11 @@ def hourly_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.unix_millis(hour).alias("hour_ms"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .alias("sum_value"),
+            # exact decimal sum internally, rounded-double on the output
+            # (driver hashes Decimal/HUGEINT asymmetrically — round-1 lesson)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
         )
     )
 
@@ -438,6 +440,56 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("id_b").alias("dup_id")).agg(
         F.min("id_a").alias("kept_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup via the WIRED scale path: LSH-banded candidates -> exact
+# cosine threshold -> min-id representative, one operator
+# (similarity.near_dup_ann). The oracle is plain brute force over the same
+# slice — equality holds because the corpus is augmented with positively-
+# scaled duplicate vectors (x2 is exact in float32 and preserves every
+# hyperplane projection sign, so LSH recall is provably 1.0 for the
+# planted pairs) and no background pair reaches the 0.9 threshold (max
+# background cos ~0.47 on this corpus).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_near_dup_ann",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+    ), aug AS (
+      SELECT vec_id, embedding FROM base
+      UNION ALL
+      SELECT vec_id + 10000,
+             list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+      FROM base WHERE vec_id < 50
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) AS cos
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    ), nd AS (
+      SELECT id_a, id_b FROM pairs WHERE cos >= 0.9
+    )
+    SELECT id_b AS dup_id, CAST(MIN(id_a) AS BIGINT) AS kept_id
+    FROM nd GROUP BY id_b
+    """.format(
+        dot_ab=_DOT.format(a="a.embedding", b="b.embedding"),
+        dot_aa=_DOT.format(a="a.embedding", b="a.embedding"),
+        dot_bb=_DOT.format(a="b.embedding", b="b.embedding"),
+    ),
+)
+def embedding_near_dup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 200
+    ).select("vec_id", "embedding")
+    dups = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(2.0).cast("float")
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(dups)
+    return SIM.near_dup_ann(aug, "vec_id", "embedding", threshold=0.9)
 
 
 # ---------------------------------------------------------------------------

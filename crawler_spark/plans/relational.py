@@ -5,8 +5,11 @@ Each query maps a surveyed reference operator (SURVEY.md §2, cites into
 /root/reference) onto the testdata star schema. Determinism rules shared
 with the DuckDB oracles:
 
-* money/metric sums are cast per-element to decimal(18,6) and the result to
-  decimal(38,6) — exact arithmetic, engine-independent;
+* money/metric arithmetic is exact decimal *internally*, but every column
+  that reaches the output is emitted as ROUND(CAST(x AS DOUBLE), n) (or
+  BIGINT) on BOTH engines — the driver harness hashes DuckDB DECIMAL /
+  HUGEINT differently from Spark DecimalType even when values are equal
+  (round-1 lesson: 8 hash_match failures, all value-identical);
 * ratios are exact-decimal sums cast to double then divided and rounded —
   IEEE doubles over identical inputs are bit-identical;
 * synthesized geo coordinates are kept as INTEGER tenth-degrees
@@ -74,7 +77,7 @@ HAVERSINE_SQL = (
     "pages_paginate",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+           ROUND(CAST(o_totalprice AS DOUBLE), 2) AS total_price
     FROM orders
     ORDER BY o_orderkey
     LIMIT 20 OFFSET 40
@@ -87,7 +90,7 @@ def pages_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_orderkey",
             "o_orderstatus",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("total_price"),
         )
         .withColumn("rn", F.row_number().over(w))
         .where((F.col("rn") > 40) & (F.col("rn") <= 60))
@@ -128,7 +131,7 @@ def top_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_ok,
+           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
            ROUND(CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 4) AS ok_rate
     FROM events
@@ -211,7 +214,7 @@ def nearby_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (SELECT p_type, p_retailprice FROM part WHERE p_partkey = 1)
     SELECT p.p_partkey, p.p_type,
-           CAST(p.p_retailprice AS DECIMAL(18,2)) AS retail_price
+           ROUND(CAST(p.p_retailprice AS DOUBLE), 2) AS retail_price
     FROM part p, base b
     WHERE p.p_type = b.p_type
       AND p.p_retailprice BETWEEN b.p_retailprice * 0.8 AND b.p_retailprice * 1.2
@@ -234,7 +237,7 @@ def similar_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             "p_type",
-            F.col("p_retailprice").cast("decimal(18,2)").alias("retail_price"),
+            F.round(F.col("p_retailprice").cast("double"), 2).alias("retail_price"),
         )
     )
 
@@ -318,7 +321,7 @@ def priority_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "per_host_topk",
     oracle="""
-    SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS val
+    SELECT user_id, event_id, ROUND(CAST(value AS DOUBLE), 2) AS val
     FROM (
       SELECT user_id, event_id, value,
              ROW_NUMBER() OVER (PARTITION BY user_id
@@ -334,7 +337,8 @@ def per_host_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select(
-            "user_id", "event_id", F.col("value").cast("decimal(18,2)").alias("val")
+            "user_id", "event_id",
+            F.round(F.col("value").cast("double"), 2).alias("val"),
         )
     )
 
@@ -370,20 +374,24 @@ def politeness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# D1 — frontier-new = extracted MINUS seen (anti-join): customers that
-# never placed an order (left_anti replaces the per-URL bloom+DB check,
-# worker.py:362 / database_service.py:78-85).
+# D1 — frontier-new = extracted MINUS seen (anti-join): customers without
+# a high-value order (left_anti replaces the per-URL bloom+DB check,
+# worker.py:362 / database_service.py:78-85). The "seen" side is a
+# *filtered* orders subset so the result is non-empty at every sf — the
+# round-1 unfiltered form matched every customer and passed vacuously.
 # ---------------------------------------------------------------------------
 @register(
     "anti_join_unseen",
     oracle="""
     SELECT c_custkey FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
     """,
 )
 def anti_join_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
@@ -438,10 +446,10 @@ def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
-                    (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) AS sum_disc_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -457,9 +465,11 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,6)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,6)").alias("sum_base_price"),
-            F.sum(price * (1 - disc)).cast("decimal(38,6)").alias("sum_disc_price"),
+            # exact decimal sums internally; the *output* is round(double,2)
+            # on both engines (driver hashes Decimal types asymmetrically).
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price * (1 - disc)).cast("double"), 2).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -473,7 +483,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "properties_by_price_type",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price
     FROM orders
     WHERE o_totalprice BETWEEN 50000 AND 150000 AND o_orderstatus = 'O'
     ORDER BY o_orderkey
@@ -489,7 +499,7 @@ def properties_by_price_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_orderkey", "o_orderstatus",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("price"),
         )
         .orderBy("o_orderkey")
         .limit(25)
@@ -505,17 +515,19 @@ def properties_by_price_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, n.n_name AS city
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE n.n_name = 'FRANCE'
+    WHERE n.n_name = 'NATION_7'
     ORDER BY c.c_custkey
     LIMIT 50
     """,
 )
 def properties_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 'NATION_7' exists in the generated testdata (names are NATION_0..24);
+    # round 1 filtered 'FRANCE' and returned 0 rows at every sf (vacuous).
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .where(F.col("n_name") == "FRANCE")
+        .where(F.col("n_name") == "NATION_7")
         .select("c_custkey", F.col("n_name").alias("city"))
         .orderBy("c_custkey")
         .limit(50)
@@ -530,13 +542,13 @@ def properties_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     "property_by_id",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price
-    FROM orders WHERE o_orderkey = 1988
+           ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price
+    FROM orders WHERE o_orderkey = 988
     """,
 )
 def property_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return o.where(F.col("o_orderkey") == 1988).select(
+    return o.where(F.col("o_orderkey") == 988).select(
         "o_orderkey", "o_custkey", "o_orderstatus",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("price"),
     )

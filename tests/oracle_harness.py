@@ -1,7 +1,16 @@
 """Local replica of the driver's oracle compare: run a registered Spark
 query and its DuckDB oracle on the same parquet dir, compare row count,
 column names, and an order-insensitive value hash (values stringified,
-rows sorted, columns sorted by name)."""
+rows sorted, columns sorted by name).
+
+Stricter than the driver in two ways (round-1 lessons):
+
+* any DECIMAL/HUGEINT output column is itself a failure — the driver
+  hashes those types asymmetrically between engines even when values are
+  identical (8 round-1 hash_match failures, all value-equal). Emitting
+  ROUND(CAST(x AS DOUBLE), n) / BIGINT on both sides is the contract.
+* a 0-row result is a failure — it proves nothing (two round-1 queries
+  passed vacuously)."""
 
 from __future__ import annotations
 
@@ -46,19 +55,32 @@ def run_oracle(sql: str, sf_dir: str):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
-    res = con.execute(sql)
-    cols = [d[0] for d in res.description]
-    rows = res.fetchall()
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    # type name per output column (e.g. 'DECIMAL(18,2)', 'HUGEINT')
+    types = [str(t) for t in rel.types]
+    rows = rel.fetchall()
     con.close()
-    return cols, rows
+    return cols, rows, types
 
 
-def compare(spark, name: str, fn, sql: str, sf_dir: str):
+def compare(spark, name: str, fn, sql: str, sf_dir: str,
+            allow_empty: bool = False):
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    d_cols, d_rows = run_oracle(sql, sf_dir)
+    d_cols, d_rows, d_types = run_oracle(sql, sf_dir)
     problems = []
+    # driver-hash-unsafe output types (value-identical results still fail
+    # the driver's hash when one side is DECIMAL/HUGEINT)
+    for f_ in sdf.schema.fields:
+        if f_.dataType.typeName() == "decimal":
+            problems.append(f"spark output column {f_.name} is DecimalType")
+    for c, t in zip(d_cols, d_types):
+        if "DECIMAL" in t.upper() or "HUGEINT" in t.upper():
+            problems.append(f"duckdb output column {c} is {t}")
+    if not s_rows and not allow_empty:
+        problems.append("vacuous: 0 rows on both engines proves nothing")
     if len(s_rows) != len(d_rows):
         problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
     if sorted(s_cols) != sorted(c.lower() for c in d_cols) and sorted(

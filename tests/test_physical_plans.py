@@ -73,6 +73,25 @@ def test_hot_path_queries_have_no_python_udf(spark):
         assert "BatchEvalPython" not in plan, f"{name} uses row-Python UDF"
 
 
+def test_ivf_centroid_sample_plan_is_distributed(spark):
+    """The IVF index build must not global-sort the corpus: the centroid
+    sample compiles to TakeOrderedAndProject (per-partition local top-k),
+    never a window over a single-partition Exchange."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sample = (
+        emb.select(
+            F.col("embedding").alias("v"),
+            F.xxhash64(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(16)
+    )
+    plan = _plan(sample)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_whole_stage_codegen_on_scan_heavy_query(spark):
     df = QUERIES["tpch_q1"](spark, SF)
     df.collect()  # AQE finalizes the plan only after execution

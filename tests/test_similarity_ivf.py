@@ -27,6 +27,33 @@ def test_ivf_recall_vs_brute(spark, emb):
     assert recall >= 0.6, recall
 
 
+def test_near_dup_ann_recall_on_noisy_dups(spark, emb):
+    """The wired scale path (LSH candidates -> cosine verify -> min-id rep)
+    on *noisy* duplicates — direction actually changes, so recall is the
+    OR-of-bands probability, not the provable-1.0 scaled-dup case the
+    oracle query uses. Planted noise keeps cos ~0.999 (p_bit ~0.986);
+    6 tables x 8 planes -> expected per-pair recall > 0.999."""
+    from crawler_spark.operators.similarity import near_dup_ann
+
+    base = emb.where(F.col("vec_id") < 150).select("vec_id", "embedding")
+    noisy = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * (1 + ((F.col("vec_id") * 31 + i) % 7 - 3) / 64.0).cast("float"),
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(noisy)
+    out = near_dup_ann(aug, "vec_id", "embedding", threshold=0.9,
+                       n_tables=6, n_planes=8)
+    got = {(r["kept_id"], r["dup_id"]) for r in out.collect()}
+    want = {(i, i + 10000) for i in range(150)}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, recall
+    assert got <= want  # no false positives at this threshold
+
+
 def test_ivf_deterministic(spark, emb):
     queries = emb.where(F.col("vec_id") < 10)
     a = sorted(map(tuple, ivf_topk(emb, queries, "vec_id", "embedding").collect()))
