@@ -54,9 +54,24 @@ def main() -> None:
     spark = get_spark("crawler_spark_bench", cores=cores)
 
     # Warm the JVM + parquet footers once so timings measure the plans.
+    from crawler_spark.session import clear_persistent_state
     from crawler_spark.sources.testdata import load_table
 
     load_table(spark, sf_dir, "orders").count()
+
+    # North-rule headline FIRST, in a clean JVM: the round-1 driver bench
+    # measured the identical round 3.3x slower when it ran after 11
+    # headline queries (block-manager/heap residue). Measure it before
+    # anything else touches the session, best-of-2 for codegen warm-up.
+    from crawler_spark.frontier.bench_round import frontier_round_throughput
+
+    frontier_round_throughput(spark, scale=0.01)  # JVM/codegen warm-up
+    clear_persistent_state(spark)
+    n_urls, round_sec = frontier_round_throughput(spark, scale=_sf_of(sf_dir))
+    clear_persistent_state(spark)
+    n_urls, second = frontier_round_throughput(spark, scale=_sf_of(sf_dir))
+    round_sec = min(round_sec, second)  # best-of-2 after warm-up
+    clear_persistent_state(spark)
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
@@ -67,15 +82,7 @@ def main() -> None:
         per_query[name] = round(time.perf_counter() - t0, 4)
         if n <= 0:
             raise RuntimeError(f"headline query {name} returned {n} rows")
-
-    # North-rule headline: one frontier scheduling round over a synthetic
-    # expansion (~4M candidate URLs at sf0.1-equivalent scale), reporting
-    # URLs scheduled+deduped per second.
-    from crawler_spark.frontier.bench_round import frontier_round_throughput
-
-    n_urls, round_sec = frontier_round_throughput(spark, scale=_sf_of(sf_dir))
-    n_urls, second = frontier_round_throughput(spark, scale=_sf_of(sf_dir))
-    round_sec = min(round_sec, second)  # best-of-2: first run pays codegen
+    clear_persistent_state(spark)
     urls_per_sec = n_urls / round_sec if round_sec > 0 else 0.0
 
     total = round(sum(per_query.values()) + round_sec, 4)

@@ -156,6 +156,7 @@ def run_round(
     collect_metrics: bool = True,
     cooldown_rounds: int = 1,
     fetch_broadcast: bool = True,
+    checkpoint_fetched: bool = True,
 ) -> tuple[CrawlState, DataFrame]:
     """Execute one scheduling round (spec steps 1-8). Returns (state', batch).
 
@@ -165,8 +166,14 @@ def run_round(
     k_per_host is then the only politeness constraint) and the host-state
     join is skipped entirely.
 
-    Everything is lazy; the caller materializes via store.commit() or
-    localCheckpoint — exactly one materialization boundary per round.
+    ``checkpoint_fetched`` materializes the two *bounded* frames every
+    downstream sink shares — ``batch`` (≤ k_per_host * active hosts rows)
+    and ``fetched`` (its join against the web) — once per round. Without
+    it the round's ~6 table writes each re-run the schedule window and
+    re-scan the (arbitrarily large) web table, because a broadcast join
+    leaves no shuffle files to reuse; this was the dominant cost in the
+    round-1 driver bench (21.3 s vs 6.4 s isolated). Set False for a
+    fully-lazy plan (plan-shape tests).
     """
     frontier_in = state.frontier
     if cooldown_rounds > 1 and state.hosts is not None:
@@ -177,6 +184,9 @@ def run_round(
         ).select("host_id")
         frontier_in = frontier_in.join(F.broadcast(cool), "host_id", "left_anti")
     batch = schedule_batch(frontier_in, round_no, k_per_host, robots=robots)
+    if checkpoint_fetched:
+        # bounded: ≤ k_per_host * active_hosts rows
+        batch = batch.localCheckpoint(eager=True)
 
     # 3. fetch = join against the synthetic web (J7). The batch is bounded
     # by k_per_host * active_hosts — broadcast it so the (arbitrarily
@@ -192,6 +202,10 @@ def run_round(
         fetched = web_cols.join(F.broadcast(batch), "url", "inner")
     else:
         fetched = batch.join(web_cols, "url", "inner")
+    if checkpoint_fetched:
+        # one web scan per round: ok/failed/dead/pages all reuse these
+        # blocks instead of re-running the broadcast join per sink.
+        fetched = fetched.localCheckpoint(eager=True)
     ok = fetched.where(F.col("status") == 200)
     failed = fetched.where(F.col("status") != 200)
     # batch URLs absent from the web table (dead links): they can never

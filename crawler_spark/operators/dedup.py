@@ -89,9 +89,14 @@ def minhash_lsh_candidates(
     # codegen. Same values: min_j over the doc's shingles either way.
     # Docs with < shingle_n tokens have no shingles and drop out (as the
     # mh0-null filter did before).
+    # array_distinct BEFORE explode: min over a doc's shingle *set* equals
+    # min over its multiset, so within-doc repeats would only re-pay k
+    # md5s each. Per-row dedupe costs no shuffle (vs dropDuplicates).
     ex = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("_s"),
     )
     sig = ex.groupBy("_id").agg(
         *[

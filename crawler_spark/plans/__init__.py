@@ -6,3 +6,4 @@ from . import frontier_queries  # noqa: F401,E402
 from . import pipeline_queries  # noqa: F401,E402
 from . import crawl_queries  # noqa: F401,E402
 from . import html_queries  # noqa: F401,E402
+from . import robots_queries  # noqa: F401,E402

@@ -1,0 +1,184 @@
+"""robots.txt parse stage vs the stdlib parser the reference uses.
+
+The reference gates URLs through urllib.robotparser.RobotFileParser
+(master/src/crawler/robots_checker.py:41-138); these tests pin our
+clean-room vectorized implementation to the stdlib's observable behavior
+over a battery of grouped/ordered/quirky documents, both at the pure-
+Python level and through the Spark mapInPandas + join pipeline.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+import urllib.robotparser
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.robots import (
+    can_fetch_df,
+    parse_robots,
+    parse_robots_text,
+    rules_to_engine_dim,
+)
+
+UA = "crawler"
+
+DOCS = {
+    "plain": "User-agent: *\nDisallow: /private\n",
+    "allow_before_disallow": (
+        "User-agent: *\nAllow: /private/ok\nDisallow: /private\n"
+    ),
+    "disallow_before_allow": (
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+    ),
+    "specific_after_star": (
+        "User-agent: *\nDisallow: /\n\n"
+        "User-agent: crawler\nDisallow: /only-crawler\n"
+    ),
+    "specific_before_star": (
+        "User-agent: badbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /blocked\n"
+    ),
+    "multi_agent_group": (
+        "User-agent: badbot\nUser-agent: crawler\nDisallow: /shared\n"
+    ),
+    "substring_agent": "User-agent: craw\nDisallow: /sub\n",
+    "case_insensitive": "USER-AGENT: CRAWLER\nDISALLOW: /case\n",
+    "empty_disallow": "User-agent: *\nDisallow:\n",
+    "comment_only_lines_keep_group": (
+        "User-agent: *\n# just a comment\nDisallow: /after-comment\n"
+    ),
+    "blank_line_splits_groups": (
+        "User-agent: badbot\n\nDisallow: /orphan\n"
+        "User-agent: *\nDisallow: /real\n"
+    ),
+    "rules_before_any_agent_ignored": (
+        "Disallow: /ignored\nUser-agent: *\nDisallow: /kept\n"
+    ),
+    "crawl_delay_int": "User-agent: *\nCrawl-delay: 7\nDisallow: /cd\n",
+    "crawl_delay_nonint_ignored": (
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /cd\n"
+    ),
+    "delay_only_group": "User-agent: *\nCrawl-delay: 3\n",
+    "quoted_rule_path": "User-agent: *\nDisallow: /a%20b\n",
+    "second_star_group_dropped": (
+        "User-agent: *\nDisallow: /first\n\nUser-agent: *\nDisallow: /second\n"
+    ),
+    "empty_doc": "",
+    "trailing_no_newline": "User-agent: *\nDisallow: /tail",
+}
+
+URLS = [
+    "http://h0.example.com/",
+    "http://h0.example.com/private",
+    "http://h0.example.com/private/ok",
+    "http://h0.example.com/private/ok/deeper",
+    "http://h0.example.com/only-crawler/x",
+    "http://h0.example.com/blocked/page",
+    "http://h0.example.com/shared/doc",
+    "http://h0.example.com/sub/doc",
+    "http://h0.example.com/case/doc",
+    "http://h0.example.com/after-comment/x",
+    "http://h0.example.com/orphan",
+    "http://h0.example.com/real",
+    "http://h0.example.com/ignored",
+    "http://h0.example.com/kept",
+    "http://h0.example.com/cd",
+    "http://h0.example.com/a b",
+    "http://h0.example.com/a%20b",
+    "http://h0.example.com/first",
+    "http://h0.example.com/second",
+    "http://h0.example.com/tail/x",
+    "http://h0.example.com/p?q=/private",
+]
+
+
+def _stdlib(txt: str):
+    rfp = urllib.robotparser.RobotFileParser()
+    rfp.parse(txt.splitlines())
+    return rfp
+
+
+def _decide_py(txt: str, ua: str, url: str) -> bool:
+    """Driver-side mirror of can_fetch_df's column algebra."""
+    rules, _ = parse_robots_text(txt, ua)
+    pr = urllib.parse.urlparse(urllib.parse.unquote(url))
+    path = urllib.parse.quote(
+        urllib.parse.urlunparse(("", "", pr.path, pr.params, pr.query, ""))
+    ) or "/"
+    for _seq, allow, rp in rules:
+        if rp == "*" or path.startswith(rp):
+            return allow
+    return True
+
+
+@pytest.mark.parametrize("name", sorted(DOCS))
+def test_parse_matches_robotfileparser(name):
+    txt = DOCS[name]
+    rfp = _stdlib(txt)
+    for url in URLS:
+        assert _decide_py(txt, UA, url) == rfp.can_fetch(UA, url), (
+            name, url)
+
+
+@pytest.mark.parametrize("name", sorted(DOCS))
+def test_crawl_delay_matches(name):
+    txt = DOCS[name]
+    _, delay = parse_robots_text(txt, UA)
+    assert delay == _stdlib(txt).crawl_delay(UA), name
+
+
+def test_other_agent_sees_different_groups():
+    txt = DOCS["specific_after_star"]
+    assert _decide_py(txt, "badbot", "http://h/x") == _stdlib(txt).can_fetch(
+        "badbot", "http://h/x")
+    assert _decide_py(txt, UA, "http://h/only-crawler/x") is False
+    assert _decide_py(txt, UA, "http://h/elsewhere") is True
+
+
+def test_spark_pipeline_matches_stdlib(spark):
+    names = sorted(DOCS)
+    hosts = spark.createDataFrame(
+        [(i, DOCS[n]) for i, n in enumerate(names)],
+        "host_id int, robots_txt string",
+    )
+    rules = parse_robots(hosts, user_agent=UA)
+    urls = spark.createDataFrame(
+        [(i, u) for i in range(len(names)) for u in URLS],
+        "host_id int, url string",
+    )
+    got = {
+        (r["host_id"], r["url"]): r["allowed"]
+        for r in can_fetch_df(urls, rules).collect()
+    }
+    assert len(got) == len(names) * len(URLS)
+    for i, n in enumerate(names):
+        rfp = _stdlib(DOCS[n])
+        for u in URLS:
+            if "%" in u or " " in u:
+                continue  # quoting normalization covered at python level
+            assert got[(i, u)] == rfp.can_fetch(UA, u), (n, u)
+
+
+def test_rules_to_engine_dim(spark):
+    hosts = spark.createDataFrame(
+        [(0, DOCS["crawl_delay_int"]), (1, DOCS["plain"]),
+         (2, DOCS["delay_only_group"])],
+        "host_id int, robots_txt string",
+    )
+    dim = rules_to_engine_dim(parse_robots(hosts, user_agent=UA))
+    rows = {r["host_id"]: r for r in dim.collect()}
+    assert rows[0]["disallow"] == "/cd" and rows[0]["crawl_delay"] == 7
+    assert rows[1]["disallow"] == "/private" and rows[1]["crawl_delay"] == 1
+    assert rows[2]["disallow"] is None and rows[2]["crawl_delay"] == 3
+
+
+def test_can_fetch_broadcasts_rules(spark):
+    hosts = spark.createDataFrame(
+        [(0, DOCS["plain"])], "host_id int, robots_txt string")
+    urls = spark.createDataFrame(
+        [(0, "http://h/x")], "host_id int, url string")
+    plan = can_fetch_df(urls, parse_robots(hosts))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
