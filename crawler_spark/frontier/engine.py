@@ -196,8 +196,13 @@ def run_round(
     # answer is a content table bucketed by url so rounds join
     # shuffle-free, not a bigger broadcast (set fetch_broadcast=False to
     # fall back to AQE's shuffled join).
-    web_cols = web.select("url", "page_id", "kind", "status", "outlinks",
-                          "image_id")
+    web_cols = web.select(
+        "url", "page_id", "kind", "status", "outlinks", "image_id",
+        # headers metadata (JSONB/Mongo-doc analogue, SURVEY §1.2): a web
+        # table without it still crawls — pages carry a null map.
+        (F.col("headers") if "headers" in web.columns
+         else F.lit(None).cast("map<string,string>")).alias("headers"),
+    )
     if fetch_broadcast:
         fetched = web_cols.join(F.broadcast(batch), "url", "inner")
     else:
@@ -221,6 +226,7 @@ def run_round(
     pages_delta = ok.select(
         F.lit(round_no).cast("int").alias("round"),
         "url", "page_id", "kind", "image_id", "priority", "host_id", "seq",
+        "headers",
     )
 
     # 5. link expansion -> enqueue

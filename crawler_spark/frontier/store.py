@@ -127,7 +127,8 @@ def init_crawl(store: RoundStore, seeds: DataFrame, robots: DataFrame) -> None:
         "fetch_log": empty_log,
         "pages": spark.createDataFrame(
             [], "round int, url string, page_id long, kind string, "
-                "image_id long, priority int, host_id int, seq int"),
+                "image_id long, priority int, host_id int, seq int, "
+                "headers map<string,string>"),
         "dlq": spark.createDataFrame(
             [], "round int, url string, host_id int, priority int, "
                 "disc_round int, retry_count int, eligible_round int"),

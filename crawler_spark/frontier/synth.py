@@ -24,10 +24,14 @@ def web_graph(
     """The synthetic web: one row per page.
 
     Columns: page_id long, host_id int, kind string, url string,
-    status int, outlinks array<string>, image_id long.
+    status int, outlinks array<string>, image_id long,
+    headers map<string,string>.
 
     Replaces the reference's live HTTP fetch (html_downloader.py:135-253):
-    a fetch is a join against this table (SURVEY.md J7).
+    a fetch is a join against this table (SURVEY.md J7). ``headers``
+    models the response-header metadata the reference persists as JSONB /
+    nested document (database_service.py:62, content_storage.py:102-119)
+    — deterministic values so oracles can reconstruct them.
     """
     df = spark.range(0, n_pages, numPartitions=partitions or spark.sparkContext.defaultParallelism)
     p = F.col("id")
@@ -46,6 +50,15 @@ def web_graph(
     )
     outlinks = F.transform(F.sequence(F.lit(0), outdeg - 1), lambda i: child_url(i))
 
+    headers = F.create_map(
+        F.lit("content-type"),
+        F.when(is_listing, "text/html").otherwise("text/html; charset=utf-8"),
+        F.lit("server"),
+        F.concat(F.lit("synth/"), (host % 3).cast("string")),
+        F.lit("content-length"),
+        (1000 + p % 5000).cast("string"),
+    )
+
     return df.select(
         p.alias("page_id"),
         host.alias("host_id"),
@@ -54,6 +67,7 @@ def web_graph(
         status.alias("status"),
         outlinks.alias("outlinks"),
         F.when(~is_listing, p).alias("image_id"),
+        headers.alias("headers"),
     )
 
 

@@ -11,6 +11,7 @@ the UDTF shape of SURVEY.md M.
 from __future__ import annotations
 
 import re
+from datetime import datetime, timezone
 
 import pandas as pd
 from pyspark.sql import Column
@@ -28,11 +29,29 @@ _BATHS = re.compile(r"(\d+(?:\.\d+)?)\s*ba\b", re.I)
 _SQFT = re.compile(r"([0-9][0-9,]*)\s*ft[²2]", re.I)
 _LAT = re.compile(r'data-latitude="([^"]+)"')
 _LON = re.compile(r'data-longitude="([^"]+)"')
+_POSTED = re.compile(r'<time[^>]*datetime="([^"]+)"', re.I)
 
 PARSE_SCHEMA = (
     "title string, price double, beds int, baths double, sqft int, "
-    "latitude double, longitude double, property_type string"
+    "latitude double, longitude double, property_type string, "
+    "posted_ts timestamp"
 )  # price: double here, cast('decimal(12,2)') natively at the sink (§1.2)
+
+
+def _posted_date(html: str):
+    """ISO-8601 posted date with 'Z' -> '+00:00' (C10, reference
+    craigslist_parser.py:171-186), null-on-fail; returned as naive UTC
+    (session tz is pinned UTC, so the epoch is exact)."""
+    m = _POSTED.search(html)
+    if not m:
+        return None
+    try:
+        dt = datetime.fromisoformat(m.group(1).replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
 
 
 def _links_of(html: str | None, base: str | None, pattern: re.Pattern) -> list[str]:
@@ -91,7 +110,7 @@ def _num(pattern: re.Pattern, s: str, cast, strip_commas: bool = False):
 
 def _parse_one(html: str | None, url: str | None) -> tuple:
     if not html:
-        return (None,) * 8
+        return (None,) * 9
     t = _TITLE.search(html)
     ptype = None
     if url:
@@ -108,6 +127,7 @@ def _parse_one(html: str | None, url: str | None) -> tuple:
         _num(_LAT, html, float),
         _num(_LON, html, float),
         ptype,
+        _posted_date(html),
     )
 
 
@@ -121,7 +141,8 @@ def parse_page(html, url) -> Column:
             return pd.DataFrame(
                 rows,
                 columns=["title", "price", "beds", "baths", "sqft",
-                         "latitude", "longitude", "property_type"],
+                         "latitude", "longitude", "property_type",
+                         "posted_ts"],
             )
         _parse_page_udf = pandas_udf(fn, PARSE_SCHEMA)
     return _parse_page_udf(html, url)

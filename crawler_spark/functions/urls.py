@@ -89,13 +89,21 @@ def canonicalize_native(url: Column) -> Column:
     userinfo, private-IP / scheme rejection — mixing the two paths on such
     URLs would defeat dedupe, so route any one corpus through one path."""
     u = F.regexp_replace(url, r"#.*$", "")
+    rest = F.regexp_replace(u, r"^[A-Za-z]+://[^/?#]+", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"(\?.*)$", 1)  # '' when absent
+    # rstrip('/') on the PATH only, keeping a bare root '/' — exactly
+    # _canon_one's rule (so 'https://x.com//' -> 'https://x.com' and
+    # '/p/?q' -> '/p?q', both of which a whole-rest regex got wrong).
+    path = F.when(path == "/", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"/+$", "")
+    )
     return F.concat(
         F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1)),
         F.lit("://"),
         F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1)),
-        F.regexp_replace(
-            F.regexp_replace(u, r"^[A-Za-z]+://[^/?#]+", ""),
-            r"(?<=[^/])/+$", ""),
+        path,
+        query,
     )
 
 

@@ -26,8 +26,14 @@ N_SEEDS = 6
 
 def _oracle_sql(rounds: int = ROUNDS, k: int = K_PER_HOST,
                 n_hosts: int = N_HOSTS, n_seeds: int = N_SEEDS,
-                final_select: str | None = None) -> str:
-    """Unrolled spec implementation in DuckDB SQL."""
+                final_select: str | None = None,
+                cooldown: int = 1) -> str:
+    """Unrolled spec implementation in DuckDB SQL.
+
+    ``cooldown`` > 1 adds the cross-round politeness gate (G1): a host
+    fetched in round r is ineligible before r + cooldown, tracked through
+    per-round ``hosts{r}`` CTEs exactly as the engine's host-state table.
+    """
     prio = (
         "CASE WHEN is_listing THEN 1 + ascii(substr(md5(url),1,1)) % 2 "
         "ELSE 3 + host_id % 3 END"
@@ -37,14 +43,14 @@ def _oracle_sql(rounds: int = ROUNDS, k: int = K_PER_HOST,
     parts = [f"""
 params AS (SELECT COUNT(*) AS n FROM orders),
 ids AS (SELECT ROW_NUMBER() OVER () - 1 AS p FROM orders),
-web AS (
+web AS MATERIALIZED (
   SELECT p,
          CAST(CASE WHEN p % 4 = 0 THEN p % 3 ELSE p % {n_hosts} END AS INT) AS host_id,
          (p % 10 = 0) AS is_listing,
          CASE WHEN p % 97 = 13 THEN 503 ELSE 200 END AS status
   FROM ids
 ),
-web_urls AS (
+web_urls AS MATERIALIZED (
   SELECT p, host_id, is_listing, status,
          CASE WHEN is_listing
               THEN 'https://h' || host_id || '.synth.test/search/apa?p=' || p
@@ -52,12 +58,12 @@ web_urls AS (
          END AS url
   FROM web
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT w.p AS parent, (w.p*31 + c.i*17 + 1) % (SELECT n FROM params) AS child
   FROM web w CROSS JOIN (SELECT range AS i FROM range(12)) c
   WHERE c.i < CASE WHEN w.is_listing THEN 12 ELSE 3 END
 ),
-child_urls AS (
+child_urls AS MATERIALIZED (
   SELECT e.parent, wu.url, wu.host_id, wu.is_listing
   FROM edges e JOIN web_urls wu ON wu.p = e.child
 ),
@@ -65,31 +71,39 @@ seed_pages AS (
   SELECT DISTINCT (j.range * 10) % (SELECT n FROM params) AS p
   FROM range({n_seeds}) j
 ),
-frontier0 AS (
+frontier0 AS MATERIALIZED (
   SELECT DISTINCT url, host_id, {prio} AS priority,
          0 AS disc_round, 0 AS retry_count, 0 AS eligible_round
   FROM web_urls WHERE p IN (SELECT p FROM seed_pages) AND {robots_ok}
 ),
-seen0 AS (SELECT url FROM frontier0)"""]
+seen0 AS MATERIALIZED (SELECT url FROM frontier0)"""]
+    if cooldown > 1:
+        parts.append(
+            "\nhosts0 AS (SELECT CAST(NULL AS INT) AS host_id, 0 AS lf "
+            "WHERE FALSE)")
 
     budget = (
         f"CASE WHEN host_id % 11 = 5 THEN {max(1, k // 2)} "
         f"WHEN host_id % 11 = 9 THEN {max(1, k // 4)} ELSE {k} END"
     )
     for r in range(1, rounds + 1):
+        cool_gate = (
+            f"\n    AND host_id NOT IN (SELECT host_id FROM hosts{r-1} "
+            f"WHERE lf + {cooldown} > {r})" if cooldown > 1 else ""
+        )
         parts.append(f"""
-batch{r} AS (
+batch{r} AS MATERIALIZED (
   SELECT url, host_id, priority, disc_round, retry_count,
          CAST(ROW_NUMBER() OVER (
            PARTITION BY host_id
            ORDER BY priority, disc_round, md5(url), url) AS INT) AS seq
-  FROM frontier{r-1} WHERE eligible_round <= {r}
+  FROM frontier{r-1} WHERE eligible_round <= {r}{cool_gate}
   QUALIFY seq <= {budget}
 ),
-fetched{r} AS (
+fetched{r} AS MATERIALIZED (
   SELECT b.*, wu.p, wu.status FROM batch{r} b JOIN web_urls wu USING (url)
 ),
-new{r} AS (
+new{r} AS MATERIALIZED (
   SELECT DISTINCT cu.url, cu.host_id,
          CASE WHEN cu.is_listing THEN 1 + ascii(substr(md5(cu.url),1,1)) % 2
               ELSE 3 + cu.host_id % 3 END AS priority,
@@ -99,18 +113,26 @@ new{r} AS (
     AND NOT (cu.host_id % 7 = 3 AND cu.url LIKE '%/apa/d/%')
     AND cu.url NOT IN (SELECT url FROM seen{r-1})
 ),
-retry{r} AS (
+retry{r} AS MATERIALIZED (
   SELECT url, host_id, priority, disc_round, retry_count + 1 AS retry_count,
          {r} + CAST(pow(2, retry_count) AS INT) AS eligible_round
   FROM fetched{r} WHERE status <> 200 AND retry_count + 1 <= 3
 ),
-frontier{r} AS (
+frontier{r} AS MATERIALIZED (
   SELECT url, host_id, priority, disc_round, retry_count, eligible_round
   FROM frontier{r-1} WHERE url NOT IN (SELECT url FROM batch{r})
   UNION ALL SELECT * FROM new{r}
   UNION ALL SELECT * FROM retry{r}
 ),
-seen{r} AS (SELECT url FROM seen{r-1} UNION SELECT url FROM new{r})""")
+seen{r} AS MATERIALIZED (SELECT url FROM seen{r-1} UNION SELECT url FROM new{r})""")
+        if cooldown > 1:
+            parts.append(f"""
+hosts{r} AS MATERIALIZED (
+  SELECT host_id, MAX(lf) AS lf FROM (
+    SELECT host_id, lf FROM hosts{r-1}
+    UNION ALL SELECT DISTINCT host_id, {r} AS lf FROM batch{r}
+  ) GROUP BY host_id
+)""")
 
     if final_select is None:
         union = "\nUNION ALL ".join(
@@ -187,6 +209,86 @@ def crawl_pages_with_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return props.join(imgs, "image_id").select(
         "round", "url", "image_id", "caption"
+    )
+
+
+@register(
+    "crawl_5round_golden",
+    oracle=_oracle_sql(rounds=5, cooldown=2),
+)
+def crawl_5round_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 rounds, cross-round host cooldown (cooldown_rounds=2) AND the
+    partitioned bloom sidecar enabled, through the CHECKPOINTED store path
+    — retry backoff (eligible = r + 2^c, reaching 2^2=4) and the host
+    politeness gate both cross round boundaries under the unrolled SQL
+    oracle; bloom pre-filtering must leave values bit-identical (no false
+    negatives by construction)."""
+    import shutil
+    import tempfile
+
+    from ..frontier.store import RoundStore, run_crawl_checkpointed
+
+    n_pages = load_table(spark, sf_dir, "orders").count()
+    web = synth.web_graph(spark, n_pages, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, n_pages, N_SEEDS, N_HOSTS)
+    root = tempfile.mkdtemp(prefix="crawl5_golden_")
+    try:
+        store = RoundStore(spark, root)
+        run_crawl_checkpointed(store, web, robots, rounds=5,
+                               k_per_host=K_PER_HOST, seeds=seeds,
+                               use_bloom=True, cooldown_rounds=2)
+        log = store.read_deltas("fetch_log").select(
+            "round", "priority", "host_id", "url", "seq"
+        ).where(F.col("round") > 0)
+        # materialize before deleting the store files the plan reads
+        return log.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# The headers MapType surface (SURVEY §1.2: Postgres JSONB headers,
+# database_service.py:62 / Mongo metadata, content_storage.py:102-119):
+# pages carry a map<string,string> from the fetch join; this query READS
+# the map (element_at) after the crawl, and the oracle reconstructs the
+# expected values arithmetically — a wrong map literal, a dropped column,
+# or bad map semantics all hash-fail.
+_PAGES_HEADERS_SELECT = """
+SELECT round, url, content_type, server, content_length FROM (
+{union}
+)""".format(union="\nUNION ALL ".join(
+    f"""SELECT {r} AS round, f.url,
+       CASE WHEN w.is_listing THEN 'text/html'
+            ELSE 'text/html; charset=utf-8' END AS content_type,
+       'synth/' || (f.host_id % 3) AS server,
+       CAST(1000 + f.p % 5000 AS VARCHAR) AS content_length
+FROM fetched{r} f JOIN web w ON w.p = f.p
+WHERE f.status = 200"""
+    for r in range(1, 3)
+))
+
+
+@register(
+    "crawl_pages_headers",
+    oracle=_oracle_sql(rounds=2, final_select=_PAGES_HEADERS_SELECT),
+)
+def crawl_pages_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round crawl; response-header map read back out of the pages delta
+    via element_at — exercises MapType end-to-end through the engine."""
+    n_pages = load_table(spark, sf_dir, "orders").count()
+    web = synth.web_graph(spark, n_pages, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, n_pages, N_SEEDS, N_HOSTS)
+    state = run_crawl(spark, web, seeds, robots, rounds=2,
+                      k_per_host=K_PER_HOST)
+    pages = state.pages[0]
+    for d in state.pages[1:]:
+        pages = pages.unionByName(d)
+    return pages.select(
+        "round", "url",
+        F.element_at("headers", "content-type").alias("content_type"),
+        F.element_at("headers", "server").alias("server"),
+        F.element_at("headers", "content-length").alias("content_length"),
     )
 
 

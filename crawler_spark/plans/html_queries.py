@@ -25,6 +25,11 @@ _HTML_SQL = (
     "|| CAST(doc_id % 2 + 1 AS VARCHAR) "
     "|| CASE WHEN doc_id % 2 = 0 THEN '.5' ELSE '' END || 'ba ' "
     "|| CAST(doc_id % 1500 + 300 AS VARCHAR) || 'ft2 ' "
+    "|| CASE WHEN doc_id % 7 = 0 THEN '' "
+    "        ELSE '<time class=\"date timeago\" datetime=\"2024-01-' "
+    "             || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T' "
+    "             || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') "
+    "             || ':30:00Z\">d</time>' END "
     "|| '<a href=\"/apa/d/u/' || doc_id || '.html\">r</a>' "
     "|| '<a href=\"https://Other.Example.COM/x/' || doc_id || '/\">a</a>' "
     "|| '<a href=\"javascript:void(0)\">j</a></html>' AS html, "
@@ -42,12 +47,21 @@ def _html_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     baths = F.concat((i % 2 + 1).cast("string"),
                      F.when(i % 2 == 0, ".5").otherwise(""))
+    posted = F.when(i % 7 == 0, "").otherwise(
+        F.concat(
+            F.lit('<time class="date timeago" datetime="2024-01-'),
+            F.lpad((i % 28 + 1).cast("string"), 2, "0"), F.lit("T"),
+            F.lpad((i % 24).cast("string"), 2, "0"),
+            F.lit(':30:00Z">d</time>'),
+        )
+    )
     html = F.concat(
         F.lit("<html><title>Unit "), i.cast("string"), F.lit("</title>"),
         price,
         F.lit(" "), (i % 4 + 1).cast("string"), F.lit("br "),
         baths, F.lit("ba "),
         (i % 1500 + 300).cast("string"), F.lit("ft2 "),
+        posted,
         F.lit('<a href="/apa/d/u/'), i.cast("string"), F.lit('.html">r</a>'),
         F.lit('<a href="https://Other.Example.COM/x/'), i.cast("string"),
         F.lit('/">a</a>'),
@@ -68,13 +82,20 @@ def _html_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_extract(html, '\\$\\s*([0-9][0-9,]*)', 1), ',', ''), '')
                 AS DOUBLE) AS price,
            CAST(regexp_extract(html, '(\\d+)\\s*br\\b', 1) AS INT) AS beds,
-           CAST(regexp_extract(html, '(\\d+(?:\\.\\d+)?)\\s*ba\\b', 1) AS DOUBLE) AS baths
+           CAST(regexp_extract(html, '(\\d+(?:\\.\\d+)?)\\s*ba\\b', 1) AS DOUBLE) AS baths,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE 1704067200000
+                     + (doc_id % 28) * 86400000
+                     + (doc_id % 24) * 3600000 + 1800000
+           END AS posted_ms
     FROM t
     """.format(html=_HTML_SQL),
 )
 def html_parse_fields_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse_page Arrow UDF vs SQL-regexp oracle. NULL price rows (no $
-    block) check the C15 null-on-fail contract."""
+    block) check the C15 null-on-fail contract; posted_ms checks the C10
+    ISO-8601 'Z'->+00:00 parse (absent <time> element => NULL), emitted
+    as epoch millis so no timestamp formatting is hashed."""
     t = _html_df(spark, sf_dir)
     p = t.select("doc_id", parse_page("html", "base").alias("p"))
     return p.select(
@@ -83,6 +104,7 @@ def html_parse_fields_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.price").alias("price"),
         F.col("p.beds").alias("beds"),
         F.col("p.baths").alias("baths"),
+        F.unix_millis(F.col("p.posted_ts")).alias("posted_ms"),
     )
 
 

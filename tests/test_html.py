@@ -62,6 +62,29 @@ def test_parse_page_fields(spark):
     assert all(v is None for v in rows[2].asDict().values())
 
 
+def test_parse_page_posted_date(spark):
+    """C10: ISO-8601 posted date, 'Z'->+00:00 (craigslist_parser.py:171-186);
+    offset forms, invalid strings (null-on-fail), and absence."""
+    cases = [
+        ('<html><time class="date timeago" datetime="2024-03-05T14:30:00Z">x</time></html>',
+         "2024-03-05 14:30:00"),
+        ('<html><time datetime="2024-03-05T14:30:00+02:00">x</time></html>',
+         "2024-03-05 12:30:00"),  # normalized to UTC
+        ('<html><time datetime="not-a-date">x</time></html>', None),
+        ("<html>no time element</html>", None),
+    ]
+    df = spark.createDataFrame(
+        [(h, "https://x.org/apa/1.html") for h, _ in cases],
+        "html string, url string",
+    )
+    rows = (
+        df.select(parse_page("html", "url").alias("p"))
+        .select(F.date_format("p.posted_ts", "yyyy-MM-dd HH:mm:ss").alias("t"))
+        .collect()
+    )
+    assert [r["t"] for r in rows] == [want for _, want in cases]
+
+
 def test_explode_pipeline_shape(spark):
     """H1 UDTF shape: UDF -> explode -> dropDuplicates, all lazily planned."""
     df = spark.createDataFrame([(PAGE, BASE), (PAGE, BASE)],

@@ -143,3 +143,15 @@ def test_crawl_with_binary_payload(spark, tmp_path):
     # listings carry no payload but stay in the table
     assert pages.where(pages.kind == "listing")\
                 .where(pages.bytes.isNotNull()).count() == 0
+    # headers map survives the store round-trip (JSONB analogue, §1.2):
+    # every crawled page carries the map and the values match the synth
+    # formulas (server = 'synth/' || host_id % 3).
+    assert pages.where(F.col("headers").isNull()).count() == 0
+    mism = pages.where(
+        (F.element_at("headers", "server")
+         != F.concat(F.lit("synth/"), (F.col("host_id") % 3).cast("string")))
+        | (F.element_at("headers", "content-type")
+           != F.when(F.col("kind") == "listing", "text/html")
+              .otherwise("text/html; charset=utf-8"))
+    ).count()
+    assert mism == 0

@@ -68,6 +68,14 @@ def test_native_subset_agrees_with_udf(spark):
         "https://example.com/a//",
         "https://h3.synth.test/apa/d/item-7/7.html",
         "https://example.com/x?q=1#f",
+        # ADVICE round-1 divergence cases: all-slash path, and a
+        # trailing-slash path followed by a query
+        "https://example.com//",
+        "https://example.com///",
+        "https://example.com/",
+        "https://example.com/p/?q=1",
+        "https://example.com/p//?q=1&r=2",
+        "http://example.com",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     both = df.select(
