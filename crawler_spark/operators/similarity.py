@@ -72,6 +72,63 @@ def cosine_topk(
     )
 
 
+def cosine_topk_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine — the SCALE form of ``cosine_topk``.
+
+    ``cosine_topk`` scores each (query, neighbor) pair with an interpreted
+    HOF fold (fine at sf0.1, ruinous at 100x: the fold runs outside
+    codegen, once per pair). Here the (small, by contract) query matrix
+    rides in the closure; each corpus partition does ONE numpy matmul per
+    Arrow batch and keeps a per-query local top-k under the total order
+    (cos desc, id asc) — so the final window sees only
+    partitions x queries x k candidate rows, not |corpus| x |queries|.
+    Two-phase top-k, same pattern as the salted scheduler (engine E4).
+    """
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches: "pd.DataFrame") -> "pd.DataFrame":
+        cand_q, cand_n, cand_c = [], [], []
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            S = M @ Qn.T                              # (batch, nq)
+            for j in range(len(q_ids)):
+                s = S[:, j]
+                mask = ids != q_ids[j]
+                order = np.lexsort((ids[mask], -s[mask]))[:k]
+                sel_ids = ids[mask][order]
+                sel_s = s[mask][order]
+                cand_q.append(np.full(len(sel_ids), q_ids[j]))
+                cand_n.append(sel_ids)
+                cand_c.append(sel_s)
+        if cand_q:
+            yield pd.DataFrame({
+                "q_id": np.concatenate(cand_q),
+                "n_id": np.concatenate(cand_n),
+                "cos": np.concatenate(cand_c),
+            })
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, "q_id long, n_id long, cos double"
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes (seeded — no wall-clock, no env)."""
     rng = np.random.default_rng(seed)

@@ -184,9 +184,7 @@ _DOT = (
 )
 
 
-@register(
-    "embedding_cosine_topk",
-    oracle="""
+_COSINE_TOPK_ORACLE = """
     WITH q AS (
       SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5
     ), c AS (
@@ -203,15 +201,27 @@ _DOT = (
       FROM scored
     ) WHERE rank <= 5
     """.format(
-        dot_qn=_DOT.format(a="qv", b="nv"),
-        dot_qq=_DOT.format(a="qv", b="qv"),
-        dot_nn=_DOT.format(a="nv", b="nv"),
-    ),
+    dot_qn=_DOT.format(a="qv", b="nv"),
+    dot_qq=_DOT.format(a="qv", b="qv"),
+    dot_nn=_DOT.format(a="nv", b="nv"),
 )
+
+
+@register("embedding_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5)
     return SIM.cosine_topk(e, queries, "vec_id", "embedding", k=5)
+
+
+@register("embedding_cosine_topk_matmul", oracle=_COSINE_TOPK_ORACLE)
+def embedding_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-k, scored by the two-phase Arrow matmul operator
+    (cosine_topk_matmul) — the scale form of the HOF-fold baseline above;
+    both must hash-match the same brute-force SQL oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5)
+    return SIM.cosine_topk_matmul(e, queries, "vec_id", "embedding", k=5)
 
 
 # ---------------------------------------------------------------------------
