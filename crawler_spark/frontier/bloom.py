@@ -105,6 +105,57 @@ class BloomSeen:
         )
         return BloomSeen(path, n_buckets, m, k)
 
+    @staticmethod
+    def open(path: str, capacity_per_bucket: int, n_buckets: int = 64,
+             fpp: float = 0.01) -> "BloomSeen":
+        """Handle to an existing sidecar directory (same params as the
+        build that produced it)."""
+        m, k = _params(capacity_per_bucket, fpp)
+        return BloomSeen(path, n_buckets, m, k)
+
+    # ---- incremental update --------------------------------------------
+
+    def update(self, new_urls: DataFrame, url_col: str = "url") -> "BloomSeen":
+        """Incremental sidecar maintenance: OR the new URLs' bits into the
+        EXISTING bucket files, touching only buckets that actually receive
+        new URLs. This is the per-round production path — at 10^10 seen
+        URLs a round's discoveries hit a handful of buckets, so the
+        full-rebuild (``build``) cost is paid once, not per round.
+
+        Same probe family and pmod bucketing as build/with_flag, so the
+        result is bit-identical to rebuilding from seen ∪ new (asserted in
+        tests/test_bloom.py). Returns self (files mutated via atomic
+        rename)."""
+        path, n_buckets, m, k = self.path, self.n_buckets, self.m_bits, self.k
+
+        hashed = new_urls.select(
+            F.xxhash64(url_col).alias("h1"),
+            F.xxhash64(url_col, F.lit(GOLDEN)).alias("h2"),
+        ).withColumn("bucket", F.pmod(F.col("h1"), F.lit(n_buckets)).cast("int"))
+
+        def or_into_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            b = int(pdf["bucket"].iloc[0])
+            f = os.path.join(path, f"bucket_{b:05d}.npy")
+            bits = np.load(f) if os.path.exists(f) else np.zeros(m // 64, dtype=np.uint64)
+            h1 = pdf["h1"].to_numpy()
+            h2 = pdf["h2"].to_numpy()
+            for pos in _probe(h1, h2, k, m):
+                np.bitwise_or.at(
+                    bits, pos // 64, np.uint64(1) << (pos.view(np.uint64) % np.uint64(64))
+                )
+            tmp = f + ".tmp"
+            with open(tmp, "wb") as fh:
+                np.save(fh, bits)
+            os.replace(tmp, f)
+            return pd.DataFrame({"bucket": [b], "n": [len(pdf)]})
+
+        (
+            hashed.groupBy("bucket")
+            .applyInPandas(or_into_bucket, "bucket int, n long")
+            .count()
+        )
+        return self
+
     # ---- probe ----------------------------------------------------------
 
     def with_flag(self, df: DataFrame, url_col: str = "url",

@@ -47,6 +47,10 @@ class CrawlState:
     pages: list[DataFrame] = field(default_factory=list)
     dlq: list[DataFrame] = field(default_factory=list)
     metrics: list[dict] = field(default_factory=list)
+    # URLs first enqueued THIS round (seen' = seen ∪ seen_delta) — the
+    # store persists it so bloom sidecars update incrementally instead of
+    # rebuilding from the full seen set every round.
+    seen_delta: DataFrame | None = None
 
 
 def empty_hosts(spark: SparkSession) -> DataFrame:
@@ -288,7 +292,8 @@ def run_round(
         )
 
     return CrawlState(frontier_next, seen_next, hosts_next, state.fetch_log,
-                      state.pages, state.dlq, state.metrics), batch
+                      state.pages, state.dlq, state.metrics,
+                      seen_delta=new_rows.select("url")), batch
 
 
 def run_crawl(

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from .engine import FRONTIER_COLS, CrawlState, empty_hosts, enqueue, run_round
 
 STATE_TABLES = ("frontier", "seen", "hosts")
-DELTA_TABLES = ("fetch_log", "pages", "dlq", "metrics")
+DELTA_TABLES = ("fetch_log", "pages", "dlq", "metrics", "seen_delta")
 
 
 class RoundStore:
@@ -123,6 +123,7 @@ def init_crawl(store: RoundStore, seeds: DataFrame, robots: DataFrame) -> None:
     store.commit(0, {
         "frontier": first.select(*FRONTIER_COLS),
         "seen": first.select("url"),
+        "seen_delta": first.select("url"),  # round 0's new URLs = seeds
         "hosts": empty_hosts(spark),
         "fetch_log": empty_log,
         "pages": spark.createDataFrame(
@@ -180,13 +181,8 @@ def run_crawl_checkpointed(
         )
         seen_bloom = None
         if use_bloom:
-            # rebuild the sidecar from the committed seen snapshot — in
-            # production only buckets with new URLs are rewritten.
-            from .bloom import BloomSeen
-            seen_bloom = BloomSeen.build(
-                state.seen, os.path.join(store.root, "bloom", f"r{r-1:05d}"),
-                capacity_per_bucket=bloom_capacity, n_buckets=bloom_buckets,
-            )
+            seen_bloom = _bloom_for_round(
+                store, state, r, bloom_capacity, bloom_buckets)
         state, batch = run_round(spark, state, web, robots, r, k_per_host,
                                  collect_metrics=False, seen_bloom=seen_bloom,
                                  cooldown_rounds=cooldown_rounds)
@@ -237,8 +233,47 @@ def run_crawl_checkpointed(
             "pages": pages_delta,
             "dlq": state.dlq[-1],
             "metrics": metrics,
+            "seen_delta": state.seen_delta,
         }, extra={"k_per_host": k_per_host})
     return rounds
+
+
+def _bloom_for_round(store: RoundStore, state: CrawlState, r: int,
+                     capacity: int, n_buckets: int):
+    """Sidecar covering seen(r-1), maintained INCREMENTALLY: copy the
+    previous round's bucket files forward and OR in only round r-1's
+    seen_delta — at 10^10 seen URLs a round's discoveries touch a handful
+    of buckets, so the full-hash build cost is paid once, not per round.
+    Falls back to a full build from the seen snapshot when there is no
+    complete predecessor (round 1, resume into an old store, crash mid-
+    copy). Completeness is marked by a `_complete` file written last."""
+    import shutil
+
+    from .bloom import BloomSeen
+
+    bdir = os.path.join(store.root, "bloom", f"r{r-1:05d}")
+    prev = os.path.join(store.root, "bloom", f"r{r-2:05d}")
+    done = os.path.join(bdir, "_complete")
+    if os.path.exists(done):
+        return BloomSeen.open(bdir, capacity, n_buckets)  # resume: reuse
+    delta_dir = store._dir("seen_delta", r - 1)
+    if (r >= 2 and os.path.exists(os.path.join(prev, "_complete"))
+            and os.path.isdir(delta_dir)):
+        shutil.rmtree(bdir, ignore_errors=True)  # partial attempt
+        shutil.copytree(prev, bdir)
+        if os.path.exists(done):
+            os.remove(done)  # copied marker: not complete until updated
+        bloom = BloomSeen.open(bdir, capacity, n_buckets)
+        bloom.update(store.read("seen_delta", r - 1))
+    else:
+        shutil.rmtree(bdir, ignore_errors=True)
+        bloom = BloomSeen.build(
+            state.seen, bdir,
+            capacity_per_bucket=capacity, n_buckets=n_buckets,
+        )
+    with open(done, "w") as f:
+        f.write("ok")
+    return bloom
 
 
 def crawl_report(store: RoundStore) -> DataFrame:

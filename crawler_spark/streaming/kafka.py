@@ -142,6 +142,44 @@ def encode_frontier(msgs: DataFrame, cfg: KafkaConfig) -> DataFrame:
     )
 
 
+def kafka_seed_ingest(store, robots: DataFrame, cfg: KafkaConfig):
+    """The foreachBatch half of a Kafka-fed frontier: decode the raw
+    records, route URLs through the standard enqueue path (validity +
+    relevance + robots + exact dedupe + priority), and merge-commit into
+    the store — the exact protocol of rounds.stream_seed_inbox with Kafka
+    as the source instead of files. Exactly-once: a replayed micro-batch
+    re-commits the same (idempotent) merged state.
+
+    Returns the ``(batch_df, batch_id) -> None`` callable to pass to
+    ``frontier_reader(...).load().writeStream.foreachBatch(...)`` — and,
+    because foreachBatch hands over a plain batch DataFrame, tests drive
+    it broker-free with a static Kafka-shaped frame.
+    """
+    from ..frontier.engine import FRONTIER_COLS, enqueue
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        last = store.latest_round()
+        if last is None:
+            raise RuntimeError("init_crawl the store before streaming seeds")
+        urls = decode_frontier(batch_df, cfg).select("url") \
+            .where(F.col("url").isNotNull())
+        frontier = store.read("frontier", last)
+        seen = store.read("seen", last)
+        new_rows = enqueue(
+            urls.dropDuplicates(["url"]), seen, robots, disc_round=last
+        )
+        merged_frontier = frontier.unionByName(
+            new_rows.select(*FRONTIER_COLS)).localCheckpoint(eager=True)
+        merged_seen = seen.unionByName(
+            new_rows.select("url")).localCheckpoint(eager=True)
+        store.commit(last, {
+            "frontier": merged_frontier,
+            "seen": merged_seen,
+        }, extra={"kafka_batch": batch_id})
+
+    return ingest
+
+
 def frontier_writer(encoded: DataFrame, cfg: KafkaConfig, checkpoint_dir: str):
     """Encoded frame -> configured Kafka ``DataStreamWriter`` (topic column
     routes each row; call ``.start()`` where a broker exists)."""

@@ -48,3 +48,55 @@ def test_filter_new_exact(spark, built):
     want = {r["url"] for r in mixed.join(seen, "url", "left_anti").collect()}
     assert got == want
     assert len(want) == 20_000
+
+
+def test_incremental_update_equals_rebuild(spark, tmp_path_factory):
+    """update(delta) on an existing sidecar == build(seen ∪ delta) from
+    scratch: bit-identical bucket files, so the incremental per-round
+    store path (store._bloom_for_round) can never change crawl results."""
+    import numpy as np
+    import os
+
+    def urls(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("https://h"), (F.col("id") % 37).cast("string"),
+                     F.lit(".synth.test/p/"),
+                     F.col("id").cast("string")).alias("url"))
+
+    base, delta, full = urls(0, 30_000), urls(30_000, 33_000), urls(0, 33_000)
+    p_inc = str(tmp_path_factory.mktemp("bloom_inc"))
+    p_full = str(tmp_path_factory.mktemp("bloom_full"))
+    inc = BloomSeen.build(base, p_inc, capacity_per_bucket=2000,
+                          n_buckets=16, fpp=0.01)
+    inc.update(delta)
+    BloomSeen.build(full, p_full, capacity_per_bucket=2000,
+                    n_buckets=16, fpp=0.01)
+    for b in range(16):
+        fa = os.path.join(p_inc, f"bucket_{b:05d}.npy")
+        fb = os.path.join(p_full, f"bucket_{b:05d}.npy")
+        assert os.path.exists(fa) == os.path.exists(fb), b
+        if os.path.exists(fa):
+            assert np.array_equal(np.load(fa), np.load(fb)), b
+
+
+def test_update_touches_only_delta_buckets(spark, tmp_path_factory):
+    """The incremental path's point: a small delta rewrites only the
+    buckets its URLs hash into (mtimes of the rest are untouched)."""
+    import os
+    import time
+
+    def urls(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("https://x/"), F.col("id").cast("string"))
+            .alias("url"))
+
+    p = str(tmp_path_factory.mktemp("bloom_touch"))
+    bs = BloomSeen.build(urls(0, 10_000), p, capacity_per_bucket=2000,
+                         n_buckets=64, fpp=0.01)
+    before = {f: os.path.getmtime(os.path.join(p, f))
+              for f in os.listdir(p)}
+    time.sleep(0.05)
+    bs.update(urls(10_000, 10_003))  # 3 URLs -> at most 3 buckets
+    changed = [f for f in os.listdir(p)
+               if os.path.getmtime(os.path.join(p, f)) != before.get(f)]
+    assert 1 <= len(changed) <= 3, changed

@@ -116,3 +116,46 @@ def test_writer_builder_constructs(spark, tmp_path):
     )
     w = frontier_writer(stream, CFG, str(tmp_path / "ckpt"))
     assert w is not None  # .start() needs a broker; wiring is complete
+
+
+def test_kafka_seed_ingest_round_trip(spark, tmp_path):
+    """Kafka-shaped records -> decode -> enqueue -> atomic store merge,
+    driven broker-free through the foreachBatch callable."""
+    from crawler_spark.frontier import synth
+    from crawler_spark.frontier.store import RoundStore, init_crawl
+    from crawler_spark.streaming.kafka import kafka_seed_ingest
+
+    n_pages, n_hosts = 2000, 20
+    robots = synth.robots_dim(spark, n_hosts)
+    seeds = synth.seed_urls(spark, n_pages, 3, n_hosts)
+    store = RoundStore(spark, str(tmp_path / "kafka_wh"))
+    init_crawl(store, seeds, robots)
+    before = store.read("frontier", 0).count()
+
+    # new seed URLs arriving as keyed Kafka messages (incl. one dup of an
+    # existing seed and one invalid scheme — both must be dropped)
+    incoming = synth.seed_urls(spark, n_pages, 8, n_hosts) \
+        .unionByName(spark.createDataFrame(
+            [("javascript:void(0)",)], "url string"))
+    msgs = incoming.select(
+        "url", F.lit(1).alias("priority"),
+        F.lit(0).cast("long").alias("timestamp"),
+        F.lit(0.0).alias("ts"), F.lit("seed").alias("source"),
+        F.lit(0.0).alias("queued_at"),
+        F.lit(None).cast("string").alias("error"),
+        F.lit(None).cast("string").alias("failed_step"),
+        F.lit(0).alias("retry_count"),
+        F.lit("h").alias("host"),
+    )
+    raw = encode_frontier(msgs, CFG).select(
+        F.col("key").cast("binary"), F.col("value").cast("binary"), "topic")
+
+    kafka_seed_ingest(store, robots, CFG)(raw, batch_id=0)
+
+    after = store.read("frontier", 0).count()
+    seen = {r["url"] for r in store.read("seen", 0).collect()}
+    assert after > before                      # new URLs enqueued
+    assert not any(u.startswith("javascript") for u in seen)
+    # replay the same micro-batch: idempotent (exactly-once surface)
+    kafka_seed_ingest(store, robots, CFG)(raw, batch_id=0)
+    assert store.read("frontier", 0).count() == after
