@@ -35,6 +35,9 @@ HEADLINE = [
     "top_domains",
     "minhash_lsh_pairs",
     "embedding_cosine_topk",
+    "embedding_cosine_topk_matmul",
+    "embedding_near_dup_ann",
+    "robots_can_fetch",
     "token_counts",
     "image_payload_verify",
 ]

@@ -134,9 +134,9 @@ def init_crawl(store: RoundStore, seeds: DataFrame, robots: DataFrame) -> None:
             [], "round int, url string, host_id int, priority int, "
                 "disc_round int, retry_count int, eligible_round int"),
         "metrics": spark.createDataFrame(
-            [(0, 0, 0, 0, 0)],
+            [(0, 0, 0, 0, 0, 0)],
             "round int, n_batch long, n_fetched long, n_parts long, "
-            "max_part_rows long"),
+            "max_part_rows long, n_hosts_approx long"),
     })
 
 
@@ -200,9 +200,14 @@ def run_crawl_checkpointed(
         fetched = state.pages[-1]
         metrics = lineage.crossJoin(
             fetched.agg(F.count("*").alias("n_fetched"))
+        ).crossJoin(
+            # distinct-host cardinality per round (SURVEY §2.F note):
+            # approx_count_distinct is one pass, no shuffle of the batch
+            batch.agg(
+                F.approx_count_distinct("host_id").alias("n_hosts_approx"))
         ).select(
             F.lit(r).alias("round"), "n_batch", "n_fetched",
-            "n_parts", "max_part_rows",
+            "n_parts", "max_part_rows", "n_hosts_approx",
         )
         pages_delta = state.pages[-1]
         if images is not None:

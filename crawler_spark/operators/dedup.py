@@ -11,10 +11,17 @@ designed so the same plan works on 500 rows and on 100 TB:
 * SimHash             — per-row, zero shuffle, 16-bit (parameterizable);
 * n-gram Jaccard      — verification on *candidate pairs only*.
 
-MinHash family: h_j(shingle) = md5('k{j}' || shingle) (string min). md5 is
-available and bit-identical in every engine, which keeps the whole pipeline
-oracle-checkable; swapping in xxhash64 for production speed is a one-line
-change (the operator takes ``hash_fn``).
+MinHash family (``minhash_lsh_candidates``): k lanes are DISJOINT 40-bit
+hex slices of two md5 digests (md5(s) and md5('x'||s)) — two md5s per
+distinct shingle yield six statistically independent lanes (disjoint bits
+of an avalanching digest act as independent permutations), vs k md5s for
+the k-independent-md5 family. NOT h1+j*h2 double hashing: affine lanes
+share their minimizing shingle, which collapses banding toward band_size
+1 (measured 613 -> 12,341 candidate pairs on the test corpus). Lexical
+min on fixed-width hex == numeric min; md5 substrings are bit-identical
+across engines, keeping the pipeline oracle-checkable.
+``minhash_signature`` keeps the k-md5 column form as the didactic
+baseline.
 """
 
 from __future__ import annotations
@@ -42,9 +49,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Shingling + MinHash signatures — pure per-row column algebra.
 # ---------------------------------------------------------------------------
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """n-word shingles as an array<string> (empty if < n tokens)."""
-    toks = F.split(text, " ")
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """n-word shingles from a BOUND token-array column (empty if < n
+    tokens). Callers must materialize the split into a named column
+    first: expressions referenced inside a higher-order-function lambda
+    get NO common-subexpression elimination, so an inline ``split(text)``
+    is re-executed per element access — measured 6x slower (3.9s -> 0.7s
+    over 260k shingles at sf0.1)."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(n)]
@@ -52,6 +63,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles straight from a text column. Convenience form for
+    one-shot use — inside pipelines prefer selecting ``split(text)`` into
+    a column and calling ``word_shingles_from_tokens`` (see its note)."""
+    return word_shingles_from_tokens(F.split(text, " "), n)
 
 
 def _minhash_col(shingles: Column, j: int) -> Column:
@@ -92,17 +110,31 @@ def minhash_lsh_candidates(
     # array_distinct BEFORE explode: min over a doc's shingle *set* equals
     # min over its multiset, so within-doc repeats would only re-pay k
     # md5s each. Per-row dedupe costs no shuffle (vs dropDuplicates).
-    ex = df.select(
+    toks = df.select(
         F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_t"),  # bound once (see
+        # word_shingles_from_tokens: HOF lambdas re-run inline exprs)
+    )
+    ex = toks.select(
+        "_id",
         F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+            F.array_distinct(word_shingles_from_tokens(F.col("_t"), shingle_n))
         ).alias("_s"),
     )
-    sig = ex.groupBy("_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"k{j}"), F.col("_s")))).alias(f"mh{j}")
-            for j in range(k)
-        ]
+    # 2 md5s per shingle; lane j = its own 10-hex-char (40-bit) slice
+    assert k <= 6, "6 independent 40-bit lanes per 2 digests"
+    d1 = F.md5("_s")
+    d2 = F.md5(F.concat(F.lit("x"), F.col("_s")))
+    lanes = [
+        (d1 if j < 3 else d2, 1 + 10 * (j % 3)) for j in range(k)
+    ]
+    hashed = ex.select(
+        "_id",
+        *[F.substring(d, pos, 10).alias(f"_l{j}")
+          for j, (d, pos) in enumerate(lanes)],
+    )
+    sig = hashed.groupBy("_id").agg(
+        *[F.min(F.col(f"_l{j}")).alias(f"mh{j}") for j in range(k)]
     )
     bands = sig.select(
         "_id",
@@ -112,8 +144,10 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band_idx"),
                         F.md5(
-                            F.concat(
-                                *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                            F.concat_ws(
+                                "_",
+                                *[F.col(f"mh{b * band_size + j}").cast("string")
+                                  for j in range(band_size)]
                             )
                         ).alias("band_key"),
                     )

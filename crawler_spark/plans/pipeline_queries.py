@@ -45,8 +45,12 @@ def exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-dup candidates (k=6 hashes, 3 bands of 2, 3-shingles).
 # ---------------------------------------------------------------------------
 
+# lane j = disjoint 40-bit hex slice of md5(s) (j<3) / md5('x'||s) —
+# mirrors operators/dedup.py::minhash_lsh_candidates exactly
 _MH_SQL = ", ".join(
-    "list_aggregate(list_transform(sh, s -> md5('k{j}' || s)), 'min') AS mh{j}".format(j=j)
+    "MIN(substr({d}, {pos}, 10)) AS mh{j}".format(
+        d="d1" if j < 3 else "d2", pos=1 + 10 * (j % 3), j=j
+    )
     for j in range(6)
 )
 
@@ -58,14 +62,18 @@ WITH toks AS (
          list_transform(range(1, len(l) - 1),
                         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS sh
   FROM toks WHERE len(l) >= 3
+), shingle AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh
+), hashed AS (
+  SELECT doc_id, md5(s) AS d1, md5('x' || s) AS d2 FROM shingle
 ), sig AS (
-  SELECT doc_id, {mh} FROM sh
+  SELECT doc_id, {mh} FROM hashed GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_key FROM sig
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || '_' || mh1) AS band_key FROM sig
   UNION ALL
-  SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+  SELECT doc_id, 1, md5(mh2 || '_' || mh3) FROM sig
   UNION ALL
-  SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+  SELECT doc_id, 2, md5(mh4 || '_' || mh5) FROM sig
 )
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM bands l JOIN bands r

@@ -182,3 +182,42 @@ def test_can_fetch_broadcasts_rules(spark):
     plan = can_fetch_df(urls, parse_robots(hosts))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Property-based fuzz: random robots.txt documents vs the stdlib parser.
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _agent = st.sampled_from(["*", "crawler", "craw", "badbot", "CRAWLER",
+                              "other/2.0"])
+    _path = st.from_regex(r"/[a-z0-9/]{0,10}", fullmatch=True)
+    _line = st.one_of(
+        st.builds(lambda a: f"User-agent: {a}", _agent),
+        st.builds(lambda p: f"Disallow: {p}", _path),
+        st.builds(lambda p: f"Allow: {p}", _path),
+        st.just("Disallow:"),
+        st.builds(lambda d: f"Crawl-delay: {d}",
+                  st.sampled_from(["1", "7", "2.5", "x"])),
+        st.just(""),
+        st.just("   "),
+        st.just("# a comment"),
+        st.builds(lambda p: f"Disallow: {p} # trailing", _path),
+        st.just("garbage without colon"),
+        st.just("Unknown-key: value"),
+    )
+    _doc = st.lists(_line, max_size=14).map("\n".join)
+    _FUZZ_URLS = ["http://h/", "http://h/a", "http://h/a/b", "http://h/ab",
+                  "http://h/c/d?x=1"]
+
+    @given(_doc, st.sampled_from(["crawler", "badbot", "Other/2.0"]))
+    @settings(max_examples=400, deadline=None)
+    def test_fuzz_parse_matches_stdlib(txt, ua):
+        rfp = _stdlib(txt)
+        for url in _FUZZ_URLS:
+            assert _decide_py(txt, ua, url) == rfp.can_fetch(ua, url), (
+                txt, ua, url)
+        assert parse_robots_text(txt, ua)[1] == rfp.crawl_delay(ua), txt
+except ImportError:  # hypothesis absent: battery tests above still run
+    pass
