@@ -183,12 +183,17 @@ def can_fetch_df(
     url_col: str = "url",
     host_col: str = "host_id",
 ) -> DataFrame:
-    """Per-URL robots decision as DataFrame algebra (no per-URL Python).
+    """Per-URL robots decision as DataFrame algebra (no per-URL Python,
+    no shuffle of the URL set).
 
-    First matching rule in file order decides (RuleLine loop semantics);
-    no matching rule / no rules for the host => allowed. ``rules`` is the
-    tiny parse_robots output — always broadcast.
-    Adds an ``allowed`` boolean column to ``urls``.
+    The tiny rules dim collapses to one sorted rule ARRAY per host
+    (sort_array puts ``seq`` first in the struct, so array order = file
+    order), broadcasts, and each URL row evaluates the RuleLine loop as a
+    per-row HOF filter over its host's few rules: first matching rule
+    decides; no match / no rules => allowed. The URL frame never moves —
+    the decision is a map-only stage, the correct shape at 10^10 URLs
+    (the earlier form windowed over a per-row id: one shuffle of every
+    URL). Adds an ``allowed`` boolean column to ``urls``.
     """
     # decision string = path[?query] (stdlib matches on both; fragments
     # never reach this stage — C1 canonicalization strips them upstream)
@@ -196,40 +201,27 @@ def can_fetch_df(
     p = F.when(p == "", "/").otherwise(p)
     q = F.parse_url(F.col(url_col), F.lit("QUERY"))
     upath = F.when(q.isNotNull(), F.concat(p, F.lit("?"), q)).otherwise(p)
-    u = urls.withColumn("_upath", upath)
-    r = rules.select(
-        F.col(host_col),
-        F.col("seq").alias("_seq"),
-        F.col("allow").alias("_allow"),
-        F.col("path").alias("_rpath"),
+
+    per_host = rules.groupBy(host_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("seq", "allow", "path"))
+        ).alias("_rules")
     )
-    # one window partition per INPUT ROW (not per (host,url) — the caller
-    # may legitimately carry duplicate URLs on other columns)
-    u = u.withColumn("_rowid", F.monotonically_increasing_id())
-    joined = u.join(F.broadcast(r), host_col, "left")
-    is_match = (
-        F.col("_rpath").isNull()
-        | (F.col("_rpath") == "*")
-        | F.col("_upath").startswith(F.col("_rpath"))
+    # bind _upath to a real column BEFORE the lambda: HOF lambda bodies
+    # get no CSE, an inline parse_url would re-run per rule element
+    joined = (
+        urls.withColumn("_upath", upath)
+        .join(F.broadcast(per_host), host_col, "left")
     )
-    # rank matching rules by file order, non-matching rows last: rn=1 is
-    # the first matching rule if any, else a non-matching row => the
-    # default-allow branch. URLs never drop out (a pure filter would lose
-    # URLs whose host has rules but none that match).
-    w = W.partitionBy("_rowid").orderBy(
-        F.when(is_match, F.col("_seq")).asc_nulls_last()
+    matches = F.filter(
+        F.col("_rules"),
+        lambda r: (r["path"] == "*")
+        | F.col("_upath").startswith(r["path"]),
     )
-    return (
-        joined.withColumn("_m", is_match)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .withColumn(
-            "allowed",
-            F.when(F.col("_m"), F.coalesce(F.col("_allow"), F.lit(True)))
-            .otherwise(F.lit(True)),
-        )
-        .drop("_seq", "_allow", "_rpath", "_rn", "_upath", "_m", "_rowid")
-    )
+    allowed = F.when(
+        F.col("_rules").isNull() | (F.size(matches) == 0), F.lit(True)
+    ).otherwise(F.element_at(matches, 1)["allow"])
+    return joined.withColumn("allowed", allowed).drop("_rules", "_upath")
 
 
 def rules_to_engine_dim(rules: DataFrame) -> DataFrame:

@@ -182,6 +182,10 @@ def test_can_fetch_broadcasts_rules(spark):
     plan = can_fetch_df(urls, parse_robots(hosts))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # map-only decision: the URL side must never shuffle (the rules dim
+    # aggregates + broadcasts; any Exchange here would be on that tiny
+    # side, and a Window over the URLs would be a red flag at 10^10 rows)
+    assert "Window" not in plan
 
 
 # ---------------------------------------------------------------------------
