@@ -75,6 +75,15 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(text, "[^a-z0-9]+", ""))
 
 
+def sanitize_filename(name: Column, max_len: int = 200) -> Column:
+    """C14 (content_storage.py:142-156): replace filesystem-unsafe chars
+    with '_' and truncate. The rebuild has no file sinks (binary columns
+    instead), but the scalar surface exists for export paths."""
+    return F.substring(
+        F.regexp_replace(name, r'[<>:"/\\|?*]', "_"), 1, max_len
+    )
+
+
 def min_kgram_fingerprint(text_col_name: str, k: int = 8) -> Column:
     """Rolling-hash-style fingerprint: min md5 over character k-grams
     (a 1-hash winnowing sketch — deterministic and order-free).

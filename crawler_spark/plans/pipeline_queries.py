@@ -309,6 +309,28 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "filename_sanitize",
+    oracle="""
+    SELECT doc_id,
+           substring(
+             regexp_replace('t:' || source || '/<' || doc_id || '>?*|x',
+                            '[<>:"/\\|?*]', '_', 'g'),
+             1, 200) AS fname
+    FROM documents
+    """,
+)
+def filename_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 scalar surface (content_storage.py:142-156) over synthesized
+    unsafe names; DuckDB restates the same regexp_replace+truncate."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("t:"), F.col("source"), F.lit("/<"),
+        F.col("doc_id").cast("string"), F.lit(">?*|x"),
+    )
+    return d.select("doc_id", TX.sanitize_filename(raw).alias("fname"))
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,

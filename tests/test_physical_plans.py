@@ -78,6 +78,22 @@ def test_hot_path_queries_have_no_python_udf(spark):
         assert "BatchEvalPython" not in plan, f"{name} uses row-Python UDF"
 
 
+def test_salted_topk_equals_plain_window(spark):
+    """The two-phase salted top-k (E2/E4 skew killer) must return exactly
+    the plain single-window batch — salting changes the physical plan,
+    never the result (the global top-k under the frozen order key is
+    contained in the union of per-salt local top-k's)."""
+    seeds = synth.seed_urls(spark, 5000, 40, 20)
+    robots = synth.robots_dim(spark, 20)
+    rows = enqueue(seeds.select("url"), seeds.select("url").limit(0),
+                   robots, 0).localCheckpoint()
+    plain = schedule_batch(rows, 1, 3, salt_buckets=1)
+    salted = schedule_batch(rows, 1, 3, salt_buckets=8)
+    a = sorted(map(tuple, plain.select("host_id", "url", "seq").collect()))
+    b = sorted(map(tuple, salted.select("host_id", "url", "seq").collect()))
+    assert a == b and len(a) > 0
+
+
 def test_ivf_centroid_sample_plan_is_distributed(spark):
     """The IVF index build must not global-sort the corpus: the centroid
     sample compiles to TakeOrderedAndProject (per-partition local top-k),
