@@ -89,6 +89,33 @@ def _phash(px: np.ndarray) -> int:
     return v - (1 << 64) if v >= 1 << 63 else v
 
 
+# -- batch (whole-Arrow-batch) forms: one numpy pass for B images, bit-
+# identical to the scalar forms above (asserted in test_images) ------------
+
+def _pixels_batch(ids: np.ndarray, w: int, h: int) -> np.ndarray:
+    """(B, h, w, 3) uint8 — `_pixels` vectorized over image ids."""
+    y, x = np.mgrid[0:h, 0:w]
+    i = ids.astype(np.int64).reshape(-1, 1, 1)
+    r = (x * 3 + i * 7) % 256
+    g = (y * 5 + i * 13) % 256
+    b = (x + y + i) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _phash_batch(px: np.ndarray) -> np.ndarray:
+    """(B,) int64 — `_phash` vectorized; identical reduction order per
+    image (same reshape structure), so the floats — and bits — match."""
+    luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    nb, h, w = luma.shape
+    blocks = luma[:, : h - h % 8, : w - w % 8] \
+        .reshape(nb, 8, h // 8, 8, w // 8).mean(axis=(2, 4))
+    bits = blocks.reshape(nb, 64) > blocks.mean(axis=(1, 2), keepdims=True) \
+        .reshape(nb, 1)
+    weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.uint64) \
+        .view(np.int64)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     return float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
@@ -116,16 +143,27 @@ def images_table(
     """Build the image+caption table. Generation is mapInPandas over
     spark.range — executor-parallel, never materialized on the driver."""
 
+    # struct.Struct doesn't pickle — bake the two headers to plain bytes
+    # before the closure captures them (w, h are fixed per table)
+    hdr_raw = HEADER.pack(MAGIC_RAW, w, h, 0)
+    hdr_q6 = HEADER.pack(MAGIC_Q6, w, h, 0)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            px = _pixels_batch(ids, w, h)          # one pass, whole batch
+            ph = _phash_batch(px)
+            q = (px >> 2).astype(np.uint8)         # lossy plane, whole batch
             rows = []
-            for image_id in pdf["id"]:
+            for j, image_id in enumerate(ids):
                 image_id = int(image_id)
-                fmt = "qrgb6" if image_id % 3 == 0 else "rgb8"
-                px = _pixels(image_id, w, h)
+                if image_id % 3 == 0:
+                    fmt, body = "qrgb6", hdr_q6 + q[j].tobytes()
+                else:
+                    fmt, body = "rgb8", hdr_raw + px[j].tobytes()
                 rows.append(
-                    (str(image_id), _encode(px, fmt), w, h, fmt,
-                     caption_of(image_id), _phash(px))
+                    (str(image_id), body, w, h, fmt,
+                     caption_of(image_id), int(ph[j]))
                 )
             yield pd.DataFrame(
                 rows,
@@ -144,21 +182,36 @@ def verify_payload(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                image_id = int(row.image_id)
-                decoded = _decode(bytes(row.bytes))
-                orig = _pixels(image_id, row.w, row.h)
-                p = psnr(orig, decoded)
-                out.append(
-                    (row.image_id, row.fmt,
-                     min(p, 99.0),
-                     row.caption == caption_of(image_id),
-                     int(row.phash) == _phash(orig))
-                )
-            yield pd.DataFrame(
-                out, columns=["image_id", "fmt", "psnr_db", "caption_ok", "phash_ok"]
-            )
+            # decode per row (codec boundary is inherently per-buffer);
+            # everything after is one vectorized pass over the batch,
+            # grouped by (w, h) so mixed-size corpora still batch
+            out_frames = []
+            for (w_, h_), grp in pdf.groupby(["w", "h"], sort=False):
+                ids = grp["image_id"].to_numpy(dtype=np.int64)
+                decoded = np.stack(
+                    [_decode(bytes(b)) for b in grp["bytes"]])
+                orig = _pixels_batch(ids, int(w_), int(h_))
+                err = (orig.astype(np.float64) - decoded.astype(np.float64))
+                mse = np.mean(err * err, axis=(1, 2, 3))
+                with np.errstate(divide="ignore"):
+                    p = np.where(
+                        mse == 0, 99.0,
+                        np.minimum(10.0 * np.log10(255.0**2 / mse), 99.0))
+                ph_ok = grp["phash"].to_numpy(dtype=np.int64) \
+                    == _phash_batch(orig)
+                cap_ok = np.array(
+                    [c == caption_of(int(i))
+                     for c, i in zip(grp["caption"], ids)])
+                out_frames.append(pd.DataFrame({
+                    "image_id": grp["image_id"].to_numpy(),
+                    "fmt": grp["fmt"].to_numpy(),
+                    "psnr_db": p,
+                    "caption_ok": cap_ok,
+                    "phash_ok": ph_ok,
+                }))
+            yield (pd.concat(out_frames) if out_frames else pd.DataFrame(
+                columns=["image_id", "fmt", "psnr_db", "caption_ok",
+                         "phash_ok"]))
 
     return images.mapInPandas(
         check,

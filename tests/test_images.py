@@ -43,6 +43,18 @@ def test_psnr_and_caption_invariant(imgs):
     assert lossy.where(F.col("psnr_db") >= 99.0).count() == 0
 
 
+def test_batch_forms_bit_identical_to_scalar():
+    """The whole-batch vectorized pixel/phash forms must match the scalar
+    definitions bit-for-bit (stored phashes + near-dup joins depend on it)."""
+    ids = np.array([0, 1, 7, 256, 4095], dtype=np.int64)
+    bpx = I._pixels_batch(ids, 32, 32)
+    bph = I._phash_batch(bpx)
+    for j, i in enumerate(ids):
+        spx = I._pixels(int(i), 32, 32)
+        assert np.array_equal(bpx[j], spx), i
+        assert int(bph[j]) == I._phash(spx), i
+
+
 def test_quantizer_psnr_math():
     px = I._pixels(7, 64, 64)
     dec = I._decode(I._encode(px, "qrgb6"))
