@@ -170,6 +170,44 @@ def minhash_lsh_candidates(
     )
 
 
+def corpus_near_dup_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 6,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    jaccard_num: int = 1,
+    jaccard_den: int = 2,
+) -> DataFrame:
+    """Full dedup stage of a training-data pipeline, composed end to end:
+
+    exact first-wins dedupe -> MinHash-LSH candidate pairs -> exact
+    Jaccard verification on candidates only -> drop the higher id of each
+    pair with Jaccard >= jaccard_num/jaccard_den (integer cross-multiply,
+    engine-exact). Returns the surviving rows of ``df``.
+
+    Plan shape: one hash shuffle (exact), signatures + band join
+    (never all-pairs), verification bounded by the candidate set, one
+    final anti-join — every stage is the 100 TB form already used by the
+    individual operators."""
+    survivors = exact_dedup(df, text_col, id_col)
+    cand = minhash_lsh_candidates(
+        survivors, id_col, text_col, k=k, band_size=band_size,
+        shingle_n=shingle_n,
+    )
+    verified = verify_pairs_jaccard(cand, survivors, id_col, text_col)
+    drops = (
+        verified.where(
+            jaccard_den * F.col("n_intersect")
+            >= jaccard_num * F.col("n_union")
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(drops, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash — per-row, zero shuffle. Bit i comes from hex digit i of
 # md5(token): digit >= 8 contributes +1 else -1; simhash bit = sum > 0.

@@ -483,6 +483,88 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# THE composite training-data cleaning pipeline, one query: exact dedupe
+# -> MinHash-LSH near-dup removal (Jaccard >= 1/2 on verified candidates)
+# -> language gate -> quality gate -> token stats. Every stage reuses the
+# individually-proven operator; the oracle restates the whole chain.
+# ---------------------------------------------------------------------------
+
+_CLEAN_ORACLE = """
+WITH dedup AS MATERIALIZED (
+  SELECT doc_id, text, n_chars FROM (
+    SELECT doc_id, text, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+), toks0 AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM dedup
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(l) - 1),
+                        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS sh
+  FROM toks0 WHERE len(l) >= 3
+), shingle AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh
+), hashed AS (
+  SELECT doc_id, md5(s) AS d1, md5('x' || s) AS d2 FROM shingle
+), sig AS MATERIALIZED (
+  SELECT doc_id, {mh} FROM hashed GROUP BY doc_id
+), bands AS MATERIALIZED (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || '_' || mh1) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '_' || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '_' || mh5) FROM sig
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+), dtk AS MATERIALIZED (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM dedup
+), drops AS (
+  SELECT DISTINCT c.id_b
+  FROM cand c JOIN dtk a ON c.id_a = a.doc_id JOIN dtk b ON c.id_b = b.doc_id
+  WHERE 2 * len(list_intersect(a.t, b.t))
+        >= len(list_distinct(list_concat(a.t, b.t)))
+), scored AS (
+  SELECT d.doc_id,
+         len(string_split(d.text, ' ')) AS n_ws_tokens,
+         CAST((CASE WHEN d.n_chars BETWEEN 100 AND 2000 THEN 3 ELSE 0 END)
+            + (CASE WHEN 10 * len(list_filter(string_split(d.text, ' '),
+                                              x -> x IN {stop}))
+                    >= len(string_split(d.text, ' ')) THEN 2 ELSE 0 END)
+            + (CASE WHEN len(string_split(d.text, ' ')) >= 30
+                    THEN 1 ELSE 0 END) AS INT) AS quality,
+         CASE WHEN 10 * len(list_filter(string_split(d.text, ' '),
+                                        x -> x IN {stop}))
+                   >= len(string_split(d.text, ' '))
+              THEN 'en' ELSE 'other' END AS lang_guess
+  FROM dedup d
+  WHERE d.doc_id NOT IN (SELECT id_b FROM drops)
+)
+SELECT doc_id, n_ws_tokens, quality
+FROM scored WHERE lang_guess = 'en' AND quality >= 4
+""".format(mh=_MH_SQL, stop=_STOP_SQL)
+
+
+@register("corpus_clean", oracle=_CLEAN_ORACLE)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end cleaning: exact dedupe -> LSH near-dup removal ->
+    lang-ID gate -> quality gate -> token stats, each stage the proven
+    operator; hash-checked as ONE pipeline against the composed oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    survivors = DD.corpus_near_dup_dedup(d, "doc_id", "text")
+    return (
+        survivors.where(TX.lang_guess(F.col("text")) == "en")
+        .select(
+            "doc_id",
+            TX.token_count(F.col("text")).alias("n_ws_tokens"),
+            TX.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+        )
+        .where(F.col("quality") >= 4)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-dup dedup via the WIRED scale path: LSH-banded candidates -> exact
 # cosine threshold -> min-id representative, one operator
 # (similarity.near_dup_ann). The oracle is plain brute force over the same
