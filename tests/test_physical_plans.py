@@ -113,6 +113,18 @@ def test_ivf_centroid_sample_plan_is_distributed(spark):
     assert "SinglePartition" not in plan
 
 
+def test_no_accidental_cartesian_in_any_query(spark):
+    """Sweep every registered query's physical plan for CartesianProduct.
+    BroadcastNestedLoopJoin with a bounded broadcast side is fine (the
+    exact-cosine and bounded near-dup baselines); an unbroadcast
+    cartesian is never fine."""
+    for name, fn in QUERIES.items():
+        if name.startswith("crawl_"):  # engine composites (5-round runs eagerly)
+            continue
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
 def test_whole_stage_codegen_on_scan_heavy_query(spark):
     df = QUERIES["tpch_q1"](spark, SF)
     df.collect()  # AQE finalizes the plan only after execution
