@@ -24,6 +24,7 @@ per-row Python.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 from collections.abc import Iterator
@@ -77,6 +78,16 @@ class BloomSeen:
         (only buckets with new URLs change)."""
         m, k = _params(capacity_per_bucket, fpp)
         os.makedirs(path, exist_ok=True)
+        # persist the geometry NEXT TO the bucket files: a later open()
+        # must probe with the exact (m, k, n_buckets) the bits were
+        # written with — re-deriving them from possibly-different caller
+        # args would silently produce false negatives.
+        tmp = os.path.join(path, "params.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"m_bits": m, "k": k, "n_buckets": n_buckets,
+                       "capacity_per_bucket": capacity_per_bucket,
+                       "fpp": fpp}, fh)
+        os.replace(tmp, os.path.join(path, "params.json"))
 
         hashed = seen.select(
             F.xxhash64(url_col).alias("h1"),
@@ -108,8 +119,18 @@ class BloomSeen:
     @staticmethod
     def open(path: str, capacity_per_bucket: int, n_buckets: int = 64,
              fpp: float = 0.01) -> "BloomSeen":
-        """Handle to an existing sidecar directory (same params as the
-        build that produced it)."""
+        """Handle to an existing sidecar directory. The PERSISTED geometry
+        (params.json written by build) wins over the caller's arguments —
+        a resume with different capacity/buckets would otherwise probe
+        the stored bits at the wrong positions (silent false negatives).
+        Falls back to deriving from the arguments only for pre-params
+        sidecars."""
+        pfile = os.path.join(path, "params.json")
+        if os.path.exists(pfile):
+            with open(pfile) as fh:
+                p = json.load(fh)
+            return BloomSeen(path, int(p["n_buckets"]),
+                             int(p["m_bits"]), int(p["k"]))
         m, k = _params(capacity_per_bucket, fpp)
         return BloomSeen(path, n_buckets, m, k)
 

@@ -82,9 +82,12 @@ def parse_robots_text(
         agents, rules, delay = [], [], None
 
     for raw in (txt or "").splitlines():
-        if not raw.strip() and state != 0:
-            # blank line: in state 1 the agents-only group is DISCARDED
-            # (stdlib behavior), in state 2 the group is committed
+        # only a TRULY empty line terminates a group (stdlib checks
+        # `if not line:` before any stripping — a whitespace-only line is
+        # not a terminator, it just strips to nothing and is skipped)
+        if not raw and state != 0:
+            # in state 1 the agents-only group is DISCARDED (stdlib
+            # behavior), in state 2 the group is committed
             if state == 2:
                 flush()
             else:

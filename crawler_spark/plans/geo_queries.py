@@ -17,7 +17,8 @@ from ..functions.geo import assign_priority_geo, city_region_map
 from ..sources.testdata import load_table
 from .registry import register
 
-_CITIES = sorted(city_region_map())  # stable order shared by both engines
+_CITY_MAP = city_region_map()  # one fixture read at import, reused below
+_CITIES = sorted(_CITY_MAP)  # stable order shared by both engines
 _N_UNMAPPED = 5  # extra slugs that miss the dim -> priority -1 -> dropped
 _M = len(_CITIES) + _N_UNMAPPED
 
@@ -25,7 +26,7 @@ _CITY_SLUGS = _CITIES + [f"nowhere{i}" for i in range(_N_UNMAPPED)]
 
 _VALUES = ", ".join(
     "({i}, '{c}', '{s}', {r})".format(
-        i=i, c=c, s=city_region_map()[c][0], r=city_region_map()[c][1]
+        i=i, c=c, s=_CITY_MAP[c][0], r=_CITY_MAP[c][1]
     )
     for i, c in enumerate(_CITIES)
 )

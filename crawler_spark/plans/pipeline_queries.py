@@ -310,22 +310,30 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "filename_sanitize",
+    # DuckDB literals do no backslash processing, so FOUR backslashes in
+    # this Python source -> two in the SQL text -> RE2 sees an escaped
+    # literal backslash inside the class (review finding: two produced
+    # only '\\|' = escaped pipe, silently dropping the backslash — and
+    # the input then contained none, so the oracle passed vacuously for
+    # that character). The '\\' || 'b' piece puts a real backslash in
+    # the synthesized name on both engines.
     oracle="""
     SELECT doc_id,
            substring(
-             regexp_replace('t:' || source || '/<' || doc_id || '>?*|x',
-                            '[<>:"/\\|?*]', '_', 'g'),
+             regexp_replace('t:' || source || '/<' || doc_id || '>?*|' || '\\' || 'b',
+                            '[<>:"/\\\\|?*]', '_', 'g'),
              1, 200) AS fname
     FROM documents
     """,
 )
 def filename_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C14 scalar surface (content_storage.py:142-156) over synthesized
-    unsafe names; DuckDB restates the same regexp_replace+truncate."""
+    unsafe names (incl. a literal backslash); DuckDB restates the same
+    regexp_replace+truncate."""
     d = load_table(spark, sf_dir, "documents")
     raw = F.concat(
         F.lit("t:"), F.col("source"), F.lit("/<"),
-        F.col("doc_id").cast("string"), F.lit(">?*|x"),
+        F.col("doc_id").cast("string"), F.lit(">?*|"), F.lit("\\b"),
     )
     return d.select("doc_id", TX.sanitize_filename(raw).alias("fname"))
 

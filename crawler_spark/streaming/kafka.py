@@ -101,13 +101,18 @@ def decode_frontier(raw: DataFrame, cfg: KafkaConfig | None = None) -> DataFrame
     topic a worker is pinned to, worker.py:254-255)."""
     prefix = (cfg or KafkaConfig("")).topic_prefix
     msg = F.from_json(F.col("value").cast("string"), MESSAGE_SCHEMA)
-    topic_prio = F.regexp_extract(
-        F.col("topic"), f"^{prefix}(\\d+)$", 1
+    # literal prefix match + digit check — NOT a regex built from the
+    # prefix (a prefix containing regex metachars like '.' or '(' would
+    # mis-match or fail to compile)
+    suffix = F.expr(f"substring(topic, {len(prefix) + 1})")
+    topic_prio = F.when(
+        F.col("topic").startswith(prefix) & suffix.rlike("^[0-9]+$"),
+        suffix.cast("int"),
     )
     return raw.select(
         F.col("key").cast("string").alias("domain_key"),
         F.col("topic"),
-        F.when(topic_prio != "", topic_prio.cast("int")).alias("topic_priority"),
+        topic_prio.alias("topic_priority"),
         msg.alias("m"),
     ).select("domain_key", "topic", "topic_priority", "m.*")
 
@@ -172,9 +177,14 @@ def kafka_seed_ingest(store, robots: DataFrame, cfg: KafkaConfig):
             new_rows.select(*FRONTIER_COLS)).localCheckpoint(eager=True)
         merged_seen = seen.unionByName(
             new_rows.select("url")).localCheckpoint(eager=True)
+        # keep the incremental-bloom invariant seen(r) = seen(r-1) ∪
+        # seen_delta(r) true for out-of-band arrivals (see rounds.py)
+        merged_delta = store.read("seen_delta", last).unionByName(
+            new_rows.select("url")).localCheckpoint(eager=True)
         store.commit(last, {
             "frontier": merged_frontier,
             "seen": merged_seen,
+            "seen_delta": merged_delta,
         }, extra={"kafka_batch": batch_id})
 
     return ingest

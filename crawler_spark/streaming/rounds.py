@@ -59,9 +59,17 @@ def stream_seed_inbox(
             new_rows.select(*FRONTIER_COLS)).localCheckpoint(eager=True)
         merged_seen = seen.unionByName(
             new_rows.select("url")).localCheckpoint(eager=True)
+        # seen_delta must absorb out-of-band arrivals too — the
+        # incremental bloom sidecar (store._bloom_for_round) reconstructs
+        # seen(r) as seen(r-1) ∪ seen_delta(r); a merge that touched only
+        # `seen` would leave the ingested URLs out of the sidecar
+        # (bloom false negatives => duplicate enqueues)
+        merged_delta = store.read("seen_delta", last).unionByName(
+            new_rows.select("url")).localCheckpoint(eager=True)
         store.commit(last, {
             "frontier": merged_frontier,
             "seen": merged_seen,
+            "seen_delta": merged_delta,
         }, extra={"stream_batch": batch_id})
 
     return (

@@ -67,6 +67,12 @@ DOCS = {
     ),
     "empty_doc": "",
     "trailing_no_newline": "User-agent: *\nDisallow: /tail",
+    # whitespace-only lines are NOT group terminators (stdlib checks the
+    # raw line before stripping) — round-2 review finding
+    "whitespace_line_keeps_group": "User-agent: *\n   \nDisallow: /ws\n",
+    "whitespace_between_rules": (
+        "User-agent: *\nDisallow: /ws\n \nDisallow: /ws2\n"
+    ),
 }
 
 URLS = [
@@ -91,6 +97,8 @@ URLS = [
     "http://h0.example.com/second",
     "http://h0.example.com/tail/x",
     "http://h0.example.com/p?q=/private",
+    "http://h0.example.com/ws/x",
+    "http://h0.example.com/ws2/x",
 ]
 
 

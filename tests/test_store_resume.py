@@ -155,3 +155,66 @@ def test_crawl_with_binary_payload(spark, tmp_path):
               .otherwise("text/html; charset=utf-8"))
     ).count()
     assert mism == 0
+
+
+def test_ingest_then_bloom_rounds_identical_to_no_bloom(spark, tmp_path):
+    """Round-2 review finding: out-of-band seed ingest must keep the
+    incremental bloom sidecar's invariant seen(r) = seen(r-1) ∪
+    seen_delta(r). Sequence: 2 bloom rounds -> Kafka seed ingest (mix of
+    already-seen and brand-new URLs) -> 2 more bloom rounds; the fetch
+    log and seen set must equal the identical sequence run WITHOUT bloom
+    (bloom is a pure pre-filter), and nothing is enqueued twice."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.streaming.kafka import (
+        KafkaConfig, encode_frontier, kafka_seed_ingest)
+
+    cfg = KafkaConfig("b:9092")
+    web = synth.web_graph(spark, N_PAGES, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, N_PAGES, 4, N_HOSTS)
+    extra = synth.seed_urls(spark, N_PAGES, 40, N_HOSTS)  # supersets seeds
+    msgs = extra.select(
+        "url", F.lit(1).alias("priority"),
+        F.lit(0).cast("long").alias("timestamp"), F.lit(0.0).alias("ts"),
+        F.lit("seed").alias("source"), F.lit(0.0).alias("queued_at"),
+        F.lit(None).cast("string").alias("error"),
+        F.lit(None).cast("string").alias("failed_step"),
+        F.lit(0).alias("retry_count"), F.lit("h").alias("host"),
+    )
+    raw = encode_frontier(msgs, cfg).select(
+        F.col("key").cast("binary"), F.col("value").cast("binary"), "topic")
+
+    logs = {}
+    for name, bloom in (("bloomed", True), ("plain", False)):
+        st = RoundStore(spark, str(tmp_path / name))
+        run_crawl_checkpointed(st, web, robots, 2, K, seeds=seeds,
+                               use_bloom=bloom)
+        kafka_seed_ingest(st, robots, cfg)(raw, batch_id=0)
+        run_crawl_checkpointed(st, web, robots, 4, K, use_bloom=bloom)
+        seen = st.read("seen", 4)
+        assert seen.count() == seen.select("url").distinct().count(), name
+        fr = st.read("frontier", 4)
+        assert fr.count() == fr.select("url").distinct().count(), name
+        logs[name] = sorted(
+            (r["round"], r["priority"], r["host_id"], r["url"], r["seq"])
+            for r in st.read_deltas("fetch_log").collect())
+    assert logs["bloomed"] == logs["plain"]
+
+
+def test_bloom_sidecar_params_persisted(spark, tmp_path):
+    """Round-2 review finding: reopening a sidecar with different
+    capacity args must use the PERSISTED geometry, not re-derive it —
+    otherwise probes hit wrong bit positions (silent false negatives)."""
+    from crawler_spark.frontier.bloom import BloomSeen
+    from pyspark.sql import functions as F
+
+    seen = spark.range(0, 5000).select(
+        F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias("url"))
+    p = str(tmp_path / "bp")
+    built = BloomSeen.build(seen, p, capacity_per_bucket=1000, n_buckets=8)
+    reopened = BloomSeen.open(p, capacity_per_bucket=999_999, n_buckets=64)
+    assert (reopened.m_bits, reopened.k, reopened.n_buckets) == (
+        built.m_bits, built.k, built.n_buckets)
+    # and the reopened handle still has zero false negatives
+    assert reopened.with_flag(seen).where(~F.col("bloom_maybe")).count() == 0
