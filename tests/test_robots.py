@@ -233,3 +233,49 @@ try:
         assert parse_robots_text(txt, ua)[1] == rfp.crawl_delay(ua), txt
 except ImportError:  # hypothesis absent: battery tests above still run
     pass
+
+
+def test_parsed_robots_text_drives_the_engine(spark):
+    """Close the loop: real robots.txt TEXT -> parse_robots ->
+    rules_to_engine_dim must reproduce the engine's synthetic robots dim
+    exactly, and a crawl driven by the parsed dim must produce the same
+    fetch log as the golden-checked synthetic-dim crawl."""
+    from crawler_spark.frontier import spec, synth
+    from crawler_spark.frontier.engine import fetch_log_df, run_crawl
+
+    n_hosts, n_pages = 20, 2000
+
+    def robots_txt(h: int) -> str:
+        parts = ["User-agent: *\n"]
+        if h % spec.ROBOTS_MOD == spec.ROBOTS_REM:
+            parts.append(f"Disallow: {spec.ROBOTS_DISALLOW}\n")
+        if h % spec.DELAY_MOD == spec.DELAY2_REM:
+            parts.append("Crawl-delay: 2\n")
+        if h % spec.DELAY_MOD == spec.DELAY4_REM:
+            parts.append("Crawl-delay: 4\n")
+        return "".join(parts)
+
+    hosts = spark.createDataFrame(
+        [(h, robots_txt(h)) for h in range(n_hosts)],
+        "host_id int, robots_txt string",
+    )
+    parsed_dim = rules_to_engine_dim(parse_robots(hosts, user_agent="crawler"))
+    # hosts with no rule and delay 1 are dropped like synth.robots_dim does
+    parsed_dim = parsed_dim.where(
+        F.col("disallow").isNotNull() | (F.col("crawl_delay") > 1))
+
+    synth_dim = synth.robots_dim(spark, n_hosts)
+    assert sorted(map(tuple, parsed_dim.collect())) == \
+        sorted(map(tuple, synth_dim.collect()))
+
+    web = synth.web_graph(spark, n_pages, n_hosts)
+    seeds = synth.seed_urls(spark, n_pages, 6, n_hosts)
+    log_a = fetch_log_df(run_crawl(spark, web, seeds, synth_dim,
+                                   rounds=2, k_per_host=2))
+    log_b = fetch_log_df(run_crawl(spark, web, seeds, parsed_dim,
+                                   rounds=2, k_per_host=2))
+    rows = lambda df: sorted(  # noqa: E731
+        (r["round"], r["priority"], r["host_id"], r["url"], r["seq"])
+        for r in df.collect())
+    a, b = rows(log_a), rows(log_b)
+    assert a == b and len(a) > 0
