@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.html import extract_links, parse_page
+from ..functions.html import extract_image_urls, extract_links, parse_page
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -30,6 +30,9 @@ _HTML_SQL = (
     "             || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T' "
     "             || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') "
     "             || ':30:00Z\">d</time>' END "
+    "|| CASE WHEN doc_id % 6 = 0 THEN '' "
+    "        ELSE '<img src=\"/img/' || doc_id || '.jpg\">"
+    "<img src=\"https://CDN.Example.COM/pic/' || doc_id || '/\">' END "
     "|| '<a href=\"/apa/d/u/' || doc_id || '.html\">r</a>' "
     "|| '<a href=\"https://Other.Example.COM/x/' || doc_id || '/\">a</a>' "
     "|| '<a href=\"javascript:void(0)\">j</a></html>' AS html, "
@@ -47,6 +50,13 @@ def _html_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     baths = F.concat((i % 2 + 1).cast("string"),
                      F.when(i % 2 == 0, ".5").otherwise(""))
+    imgs = F.when(i % 6 == 0, "").otherwise(
+        F.concat(
+            F.lit('<img src="/img/'), i.cast("string"), F.lit('.jpg">'),
+            F.lit('<img src="https://CDN.Example.COM/pic/'),
+            i.cast("string"), F.lit('/">'),
+        )
+    )
     posted = F.when(i % 7 == 0, "").otherwise(
         F.concat(
             F.lit('<time class="date timeago" datetime="2024-01-'),
@@ -62,6 +72,7 @@ def _html_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         baths, F.lit("ba "),
         (i % 1500 + 300).cast("string"), F.lit("ft2 "),
         posted,
+        imgs,
         F.lit('<a href="/apa/d/u/'), i.cast("string"), F.lit('.html">r</a>'),
         F.lit('<a href="https://Other.Example.COM/x/'), i.cast("string"),
         F.lit('/">a</a>'),
@@ -132,4 +143,33 @@ def html_extract_links_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _html_df(spark, sf_dir)
     return t.select(
         "doc_id", F.explode(extract_links("html", "base")).alias("url")
+    )
+
+
+@register(
+    "html_extract_images_udf",
+    oracle="""
+    WITH t AS ({html}),
+    expect AS (
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/img/' || doc_id || '.jpg' AS image_url
+      FROM t WHERE doc_id % 6 <> 0
+      UNION ALL
+      SELECT doc_id,
+             'https://cdn.example.com/pic/' || doc_id AS image_url
+      FROM t WHERE doc_id % 6 <> 0
+    )
+    SELECT doc_id, image_url FROM expect
+    """.format(html=_HTML_SQL),
+)
+def html_extract_images_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 (file_storage.py:266-276): <img src> extraction -> canonical
+    absolute URLs (relative resolved against base, host lowercased,
+    trailing slash stripped) -> explode into page_images rows; pages
+    without img tags (doc_id%6==0) contribute nothing."""
+    t = _html_df(spark, sf_dir)
+    return t.select(
+        "doc_id",
+        F.explode(extract_image_urls("html", "base")).alias("image_url"),
     )
