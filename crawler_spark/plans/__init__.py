@@ -1,4 +1,7 @@
-from .registry import QUERIES, ORACLES, register  # noqa: F401
+from .registry import (  # noqa: F401
+    QUERIES, ORACLES, register, ordered_queries,
+    DRIVER_WINDOW, DRIVER_DEMOTED,
+)
 
 # Importing the plan modules registers their queries.
 from . import relational  # noqa: F401,E402

@@ -1,0 +1,90 @@
+"""Driver-window contract: the grading driver runs exactly the first 50
+``queries()`` entries (CORRECTNESS_r01/r02 each have exactly 50 rows), so
+every operator-covering query from SURVEY.md §2 must land inside that
+window.  Round 2 lost driver rows for 11 queries because the round-2
+flagship work was appended at registry positions 50-60; this test pins
+the fix (registry.ordered_queries + DRIVER_DEMOTED) so a future
+registration can't silently starve the check again.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+from crawler_spark.plans import (
+    DRIVER_DEMOTED, DRIVER_WINDOW, QUERIES, ordered_queries,
+)
+
+# Queries that MUST have a driver correctness row: one per operator
+# family whose only covering query sat past the window in r02 (VERDICT
+# "untested (driver)" components A8/A9, H1/H2/H3, C9/C10, A15-parse,
+# A6-headers, D1/G1-deep, E1-geo) plus the scale-form cosine anchor.
+WINDOW_CRITICAL = [
+    "crawl_5round_golden",        # D1 bloom + G1 cooldown deep oracle
+    "crawl_pages_headers",        # A6/A12 headers map
+    "image_payload_verify",       # A8/A9 binary cols + codec
+    "image_phash_near_dup",       # image near-dup (phash bands)
+    "html_parse_fields_udf",      # C4-C10, H3
+    "html_extract_links_udf",     # H1
+    "html_extract_images_udf",    # H2
+    "robots_txt_parse",           # A15 parse
+    "robots_can_fetch",           # A15 matching
+    "priority_assign_geo",        # E1 geo-fixture form
+    "embedding_cosine_topk_matmul",  # exact-cosine scale anchor
+    "crawl_pages_with_captions",  # north-rule image+caption table
+]
+
+
+def test_demoted_names_registered():
+    missing = [n for n in DRIVER_DEMOTED if n not in QUERIES]
+    assert not missing, missing
+
+
+def test_ordered_is_a_permutation():
+    oq = ordered_queries()
+    assert set(oq) == set(QUERIES)
+    assert len(oq) == len(QUERIES)
+
+
+def test_critical_queries_inside_driver_window():
+    window = list(ordered_queries())[:DRIVER_WINDOW]
+    out = [n for n in WINDOW_CRITICAL if n not in window]
+    assert not out, f"operator-critical queries outside driver window: {out}"
+
+
+def test_demoted_fit_in_tail():
+    """Everything non-demoted must fit in the window — if the registry
+    grows past DRIVER_WINDOW + len(DRIVER_DEMOTED), something critical
+    will silently fall out."""
+    assert len(QUERIES) - len(DRIVER_DEMOTED) <= DRIVER_WINDOW, (
+        "registry grew: demote or retire a subsumed query to keep every "
+        "operator-covering query inside the driver's 50-entry window")
+
+
+def test_entry_module_uses_ordered_registry():
+    names = list(entry_mod.queries())
+    assert names == list(ordered_queries())
+    window = names[:DRIVER_WINDOW]
+    for n in WINDOW_CRITICAL:
+        assert n in window
+
+
+def test_demoted_coverage_subsumed_by_in_window_sibling():
+    """Each demoted query's operator coverage has a named in-window
+    sibling (the reason demotion is safe)."""
+    sibling = {
+        "tpch_q1": "success_rate",
+        "simhash16": "simhash_bucket_pairs",
+        "politeness_lag": "crawl_5round_golden",
+        "embedding_cosine_topk": "embedding_cosine_topk_matmul",
+        "crawl_3round_golden": "crawl_5round_golden",
+        "embedding_near_dup": "embedding_near_dup_ann",
+        "ngram_jaccard_pairs": "lsh_jaccard_verify",
+        "properties_by_price_type": "pages_paginate",
+        "properties_by_city": "nearby_radius",
+        "property_by_id": "bbox_filter",
+        "state_coords_radius": "priority_assign_geo",
+    }
+    assert set(sibling) == set(DRIVER_DEMOTED)
+    window = list(ordered_queries())[:DRIVER_WINDOW]
+    for demoted, kept in sibling.items():
+        assert kept in window, (demoted, kept)
