@@ -264,18 +264,29 @@ def _bloom_for_round(store: RoundStore, state: CrawlState, r: int,
     delta_dir = store._dir("seen_delta", r - 1)
     if (r >= 2 and os.path.exists(os.path.join(prev, "_complete"))
             and os.path.isdir(delta_dir)):
+        # Copy-forward + OR-in happens entirely in a tmp dir, with the
+        # marker written there LAST, then one atomic rename.  copytree
+        # copies files in arbitrary order, so copying prev's `_complete`
+        # straight into bdir would open a crash window where a partial /
+        # not-yet-updated bucket set carries a valid marker and the
+        # resume early-return above reuses it — bloom false negatives
+        # let seen URLs bypass the anti-join and be re-enqueued.
+        tmp = bdir + ".tmp"
         shutil.rmtree(bdir, ignore_errors=True)  # partial attempt
-        shutil.copytree(prev, bdir)
-        if os.path.exists(done):
-            os.remove(done)  # copied marker: not complete until updated
-        bloom = BloomSeen.open(bdir, capacity, n_buckets)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(prev, tmp,
+                        ignore=shutil.ignore_patterns("_complete"))
+        bloom = BloomSeen.open(tmp, capacity, n_buckets)
         bloom.update(store.read("seen_delta", r - 1))
-    else:
-        shutil.rmtree(bdir, ignore_errors=True)
-        bloom = BloomSeen.build(
-            state.seen, bdir,
-            capacity_per_bucket=capacity, n_buckets=n_buckets,
-        )
+        with open(os.path.join(tmp, "_complete"), "w") as f:
+            f.write("ok")
+        os.rename(tmp, bdir)  # bdir exists only fully updated + marked
+        return BloomSeen.open(bdir, capacity, n_buckets)
+    shutil.rmtree(bdir, ignore_errors=True)
+    bloom = BloomSeen.build(
+        state.seen, bdir,
+        capacity_per_bucket=capacity, n_buckets=n_buckets,
+    )
     with open(done, "w") as f:
         f.write("ok")
     return bloom

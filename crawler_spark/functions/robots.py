@@ -180,6 +180,52 @@ def parse_robots(
     ).mapInPandas(parse_batches, RULES_SCHEMA)
 
 
+def _py_quote(col):
+    """``urllib.parse.quote(s, safe='/')`` as native column algebra.
+
+    Built on ``url_encode`` (Java form-encoding) plus fixups for the four
+    charset differences: Java emits '+' for space (Python '%20'), encodes
+    '/' and '~' (Python-safe), and keeps '*' (Python encodes).  Each fixup
+    is unambiguous: post-encode, a literal '+'/'*' can only come from an
+    input space/'*', and '%2F'/'%7E' only from '/'/'~' (multi-byte UTF-8
+    escapes are all >= %80, and input '%' was itself encoded to '%25')."""
+    e = F.url_encode(col)
+    e = F.replace(e, F.lit("+"), F.lit("%20"))
+    e = F.replace(e, F.lit("%2F"), F.lit("/"))
+    e = F.replace(e, F.lit("%7E"), F.lit("~"))
+    return F.replace(e, F.lit("*"), F.lit("%2A"))
+
+
+def _stdlib_decision_string(url):
+    """RobotFileParser.can_fetch's URL normalization, vectorized:
+    ``quote(urlunparse(('','', p.path, p.params, p.query, p.fragment)))
+    or '/'`` where ``p = urlparse(unquote(url))``.
+
+    ``unquote`` is ``url_decode`` with two pre-escapes that restore
+    Python's semantics: '+' stays literal (form-decoding would turn it
+    into a space) and a '%' not followed by two hex digits passes through
+    unchanged (Java would raise)."""
+    pre = F.regexp_replace(url, r"%(?![0-9A-Fa-f]{2})", "%25")
+    pre = F.regexp_replace(pre, r"\+", "%2B")
+    dec = F.url_decode(pre)
+    # urlparse is a permissive string split (parse_url would NULL out on
+    # a decoded literal space): fragment = after first '#', query = after
+    # first '?' of the rest, path = rest minus scheme://netloc.  Empty
+    # query/fragment behave as absent, exactly like urlunparse.
+    frag = F.regexp_extract(dec, r"(?s)#(.*)", 1)
+    rest = F.regexp_replace(dec, r"(?s)#.*", "")
+    qry = F.regexp_extract(rest, r"(?s)\?(.*)", 1)
+    rest = F.regexp_replace(rest, r"(?s)\?.*", "")
+    p = F.regexp_replace(rest, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*", "")
+    s = F.concat(
+        p,
+        F.when(qry != "", F.concat(F.lit("?"), qry)).otherwise(F.lit("")),
+        F.when(frag != "", F.concat(F.lit("#"), frag)).otherwise(F.lit("")),
+    )
+    enc = _py_quote(s)
+    return F.when(enc == "", "/").otherwise(enc)
+
+
 def can_fetch_df(
     urls: DataFrame,
     rules: DataFrame,
@@ -198,12 +244,13 @@ def can_fetch_df(
     (the earlier form windowed over a per-row id: one shuffle of every
     URL). Adds an ``allowed`` boolean column to ``urls``.
     """
-    # decision string = path[?query] (stdlib matches on both; fragments
-    # never reach this stage — C1 canonicalization strips them upstream)
-    p = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
-    p = F.when(p == "", "/").otherwise(p)
-    q = F.parse_url(F.col(url_col), F.lit("QUERY"))
-    upath = F.when(q.isNotNull(), F.concat(p, F.lit("?"), q)).otherwise(p)
+    # Decision string, mirroring RobotFileParser.can_fetch exactly:
+    # unquote the whole URL, parse, reassemble path[;params][?query]
+    # [#fragment], re-quote with safe='/', '' => '/'.  Rule paths went
+    # through the same normalization at parse time (_norm_path), so e.g.
+    # 'Disallow: /sp ace' (stored '/sp%20ace') blocks '/sp ace' and
+    # 'Disallow: /a%3Fb' blocks '/a?b', as the stdlib does.
+    upath = _stdlib_decision_string(F.col(url_col))
 
     per_host = rules.groupBy(host_col).agg(
         F.sort_array(

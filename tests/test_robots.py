@@ -62,6 +62,11 @@ DOCS = {
     ),
     "delay_only_group": "User-agent: *\nCrawl-delay: 3\n",
     "quoted_rule_path": "User-agent: *\nDisallow: /a%20b\n",
+    # percent-encoding normalization (ADVICE r02): rules with raw spaces
+    # or encoded metachars must block the equivalent URL forms
+    "space_rule_path": "User-agent: *\nDisallow: /sp ace\n",
+    "encoded_query_rule": "User-agent: *\nDisallow: /a%3Fb\n",
+    "tilde_star_rule": "User-agent: *\nDisallow: /~usr/a*\n",
     "second_star_group_dropped": (
         "User-agent: *\nDisallow: /first\n\nUser-agent: *\nDisallow: /second\n"
     ),
@@ -99,6 +104,17 @@ URLS = [
     "http://h0.example.com/p?q=/private",
     "http://h0.example.com/ws/x",
     "http://h0.example.com/ws2/x",
+    # quoting torture: literal space, encoded space, '?' vs '%3F',
+    # literal/encoded '+', stray '%', '~', '*', encoded '#'
+    "http://h0.example.com/sp ace/x",
+    "http://h0.example.com/sp%20ace/x",
+    "http://h0.example.com/a?b",
+    "http://h0.example.com/a%3Fb",
+    "http://h0.example.com/a+b",
+    "http://h0.example.com/a%2Bb",
+    "http://h0.example.com/100%zz",
+    "http://h0.example.com/~usr/a*b",
+    "http://h0.example.com/frag%23x/y",
 ]
 
 
@@ -164,8 +180,6 @@ def test_spark_pipeline_matches_stdlib(spark):
     for i, n in enumerate(names):
         rfp = _stdlib(DOCS[n])
         for u in URLS:
-            if "%" in u or " " in u:
-                continue  # quoting normalization covered at python level
             assert got[(i, u)] == rfp.can_fetch(UA, u), (n, u)
 
 

@@ -218,3 +218,44 @@ def test_bloom_sidecar_params_persisted(spark, tmp_path):
         built.m_bits, built.k, built.n_buckets)
     # and the reopened handle still has zero false negatives
     assert reopened.with_flag(seen).where(~F.col("bloom_maybe")).count() == 0
+
+
+def test_bloom_copy_forward_crash_window(spark, tmp_path, monkeypatch):
+    """A crash during the incremental copy-forward (after the bucket copy,
+    before/inside the delta OR-in) must leave NO `_complete` marker at the
+    final sidecar path, so resume falls back to a rebuild instead of
+    reusing a stale bucket set — a stale-but-marked sidecar would give
+    bloom false negatives and re-enqueue already-seen URLs."""
+    import pytest
+
+    from crawler_spark.frontier.bloom import BloomSeen
+    from crawler_spark.frontier.engine import CrawlState
+    from crawler_spark.frontier.store import _bloom_for_round
+
+    st = RoundStore(spark, str(tmp_path / "cw"))
+    web = synth.web_graph(spark, N_PAGES, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, N_PAGES, N_SEEDS, N_HOSTS)
+    run_crawl_checkpointed(st, web, robots, 2, K, seeds=seeds,
+                           use_bloom=True, bloom_buckets=8)
+    state = CrawlState(frontier=st.read("frontier", 2),
+                       seen=st.read("seen", 2),
+                       hosts=st.read("hosts", 2))
+    bdir = os.path.join(st.root, "bloom", "r00002")
+
+    def boom(self, df, url_col="url"):
+        raise RuntimeError("crash mid OR-in")
+
+    monkeypatch.setattr(BloomSeen, "update", boom)
+    with pytest.raises(RuntimeError):
+        _bloom_for_round(st, state, 3, 100_000, 8)
+    assert not os.path.exists(os.path.join(bdir, "_complete"))
+    monkeypatch.undo()
+
+    bloom = _bloom_for_round(st, state, 3, 100_000, 8)
+    assert os.path.exists(os.path.join(bdir, "_complete"))
+    # recovered sidecar covers seen(2) with zero false negatives
+    from pyspark.sql import functions as F
+    misses = (bloom.with_flag(state.seen)
+              .where(~F.col("bloom_maybe")).count())
+    assert misses == 0
