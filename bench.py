@@ -69,12 +69,12 @@ def main() -> None:
     from crawler_spark.frontier.bench_round import frontier_round_throughput
 
     frontier_round_throughput(spark, scale=0.01)  # JVM/codegen warm-up
-    clear_persistent_state(spark)
+    clear_persistent_state(spark, include_checkpoints=True)
     n_urls, round_sec = frontier_round_throughput(spark, scale=_sf_of(sf_dir))
-    clear_persistent_state(spark)
+    clear_persistent_state(spark, include_checkpoints=True)
     n_urls, second = frontier_round_throughput(spark, scale=_sf_of(sf_dir))
     round_sec = min(round_sec, second)  # best-of-2 after warm-up
-    clear_persistent_state(spark)
+    clear_persistent_state(spark, include_checkpoints=True)
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
@@ -85,7 +85,7 @@ def main() -> None:
         per_query[name] = round(time.perf_counter() - t0, 4)
         if n <= 0:
             raise RuntimeError(f"headline query {name} returned {n} rows")
-    clear_persistent_state(spark)
+    clear_persistent_state(spark, include_checkpoints=True)
     urls_per_sec = n_urls / round_sec if round_sec > 0 else 0.0
 
     total = round(sum(per_query.values()) + round_sec, 4)

@@ -74,31 +74,74 @@ def city_state_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "city string, state string, region int")
 
 
+def _global_rank_parity(
+    df: DataFrame, group_col: str, order_col: str, out: str = "_rr"
+) -> DataFrame:
+    """Parity of the global ``row_number() OVER (PARTITION BY group ORDER
+    BY order)`` — WITHOUT the single-partition sort a plain window needs
+    (``partitionBy(is_listing)`` is 2 partitions at any scale).
+
+    Two-phase distributed rank: range-partition on (group, order) so
+    ascending partition ids hold ascending key ranges, take a local
+    row_number per (partition, group), and add the tiny per-partition
+    count prefix-sum (parts x groups rows, broadcast) as an offset.
+    Requires ``order_col`` unique within each group, which also makes the
+    result independent of the sampled range boundaries."""
+    rp = df.repartitionByRange(F.col(group_col), F.col(order_col)) \
+        .withColumn("_pid", F.spark_partition_id())
+    cnt = rp.groupBy("_pid", group_col).agg(F.count("*").alias("_n"))
+    off = cnt.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                W.partitionBy(group_col).orderBy("_pid")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", group_col, "_off")
+    local = F.row_number().over(
+        W.partitionBy("_pid", group_col).orderBy(order_col)
+    )
+    return (
+        rp.join(F.broadcast(off), ["_pid", group_col])
+        .withColumn(out, (local + F.col("_off")) % 2)
+        .drop("_pid", "_off")
+    )
+
+
 def assign_priority_geo(
     df: DataFrame,
     spark: SparkSession,
     city_col: str = "city",
     is_listing_col: str = "is_listing",
-    order_col: str | None = None,
+    order_col: str = None,  # required; see raise below
 ) -> DataFrame:
     """E1 priority assignment against the frozen dims.
 
     listing -> 1 + (stable round-robin over listing rows) (the reference's
     global mutable counter, prioritizer.py:18,157-159, made deterministic
-    by ranking on ``order_col``); property -> region + 3; city not in the
-    dim -> -1 (caller drops, B7). Adds ``state``, ``region``, ``priority``.
+    by ranking on ``order_col``, which MUST be a unique key — a non-unique
+    key would make which listing gets priority 1 vs 2 depend on partition
+    placement); property -> region + 3; city not in the dim -> -1 (caller
+    drops, B7). Adds ``state``, ``region``, ``priority``.
+
+    The round-robin is a two-phase distributed rank (_global_rank_parity),
+    not a ``partitionBy(is_listing)`` window — that window is a 2-partition
+    sort at any scale.
     """
-    order_col = order_col or city_col
+    if order_col is None:
+        raise ValueError(
+            "assign_priority_geo needs a unique order_col (e.g. url): "
+            "round-robin parity on a non-unique key is nondeterministic")
     dim = city_state_dim(spark).withColumnRenamed("city", city_col)
     joined = df.join(F.broadcast(dim), city_col, "left")
     # round-robin counted over LISTING assignments only (the reference's
     # counter increments per listing, prioritizer.py:157-159)
-    rr: Column = F.row_number().over(
-        W.partitionBy(is_listing_col).orderBy(order_col)
-    ) % 2
+    ranked = _global_rank_parity(joined, is_listing_col, order_col)
     prio = (
         F.when(F.col("region").isNull(), -1)
-        .when(F.col(is_listing_col), 1 + rr)
+        .when(F.col(is_listing_col), 1 + F.col("_rr"))
         .otherwise(F.col("region") + 3)
     )
-    return joined.withColumn("priority", prio.cast("int"))
+    return ranked.withColumn("priority", prio.cast("int")).drop("_rr")

@@ -95,35 +95,54 @@ def cosine_topk_matmul(
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
+    # Local top-k margin: BLAS summation order differs from the oracle's
+    # left fold by ~1 ulp, so candidates within float error of the k-th
+    # score must survive the per-partition cut for the exact re-rank
+    # below to select the identical set.
+    kk = k + 4
+
     def score(batches: "pd.DataFrame") -> "pd.DataFrame":
-        cand_q, cand_n, cand_c = [], [], []
+        cand_q, cand_n, cand_v = [], [], []
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vecs = pdf[vec_col].to_numpy()
+            M = np.stack(vecs).astype(np.float64)
             M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
             S = M @ Qn.T                              # (batch, nq)
             for j in range(len(q_ids)):
                 s = S[:, j]
                 mask = ids != q_ids[j]
-                order = np.lexsort((ids[mask], -s[mask]))[:k]
-                sel_ids = ids[mask][order]
-                sel_s = s[mask][order]
-                cand_q.append(np.full(len(sel_ids), q_ids[j]))
-                cand_n.append(sel_ids)
-                cand_c.append(sel_s)
+                order = np.lexsort((ids[mask], -s[mask]))[:kk]
+                sel = np.nonzero(mask)[0][order]
+                cand_q.append(np.full(len(sel), q_ids[j]))
+                cand_n.append(ids[sel])
+                cand_v.extend(
+                    [np.asarray(vecs[i], dtype=np.float64).tolist()
+                     for i in sel])
         if cand_q:
             yield pd.DataFrame({
                 "q_id": np.concatenate(cand_q),
                 "n_id": np.concatenate(cand_n),
-                "cos": np.concatenate(cand_c),
+                "n_vec": pd.Series(cand_v, dtype="object"),
             })
 
     cand = corpus.select(id_col, vec_col).mapInPandas(
-        score, "q_id long, n_id long, cos double"
+        score, "q_id long, n_id long, n_vec array<double>"
+    )
+    # Final score recomputed on the <= partitions x queries x kk survivors
+    # with the SAME deterministic left fold the DuckDB oracle (and
+    # cosine_topk) uses — the BLAS score only pruned candidates, so the
+    # output is bit-stable regardless of summation order (ADVICE r02).
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    exact = (
+        cand.join(F.broadcast(q), "q_id")
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
     return (
-        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", F.round("cos", 4).alias("cos_sim"))
     )

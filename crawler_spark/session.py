@@ -80,20 +80,37 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def clear_persistent_state(spark: SparkSession) -> None:
-    """Drop every cached table and persisted/localCheckpointed RDD block,
-    then ask the JVM for a GC. Bench sections call this between phases so
-    one phase's block-manager residue (e.g. binary image batches) can't
-    skew the next phase's timing — the round-1 driver bench measured the
-    same round 3.3x slower after 11 preceding queries."""
+def clear_persistent_state(
+    spark: SparkSession, include_checkpoints: bool = False
+) -> None:
+    """Drop every cached table and persisted RDD block, then ask the JVM
+    for a GC. Bench sections call this between phases so one phase's
+    block-manager residue (e.g. binary image batches) can't skew the next
+    phase's timing — the round-1 driver bench measured the same round
+    3.3x slower after 11 preceding queries.
+
+    Checkpointed RDDs (including localCheckpoint, which run_round uses
+    eagerly) are SKIPPED by default: their blocks are the data — not
+    recomputable — so unpersisting them would make any still-referenced
+    DataFrame from a prior phase fail with missing blocks (ADVICE r02).
+    Pass ``include_checkpoints=True`` only when no frame built before
+    this call will ever be acted on again (bench.py does, between
+    independent sections)."""
     try:
         spark.catalog.clearCache()
     except Exception:
         pass
     try:
         jsc = spark.sparkContext._jsc
-        for rdd in list(jsc.getPersistentRDDs().values()):
-            rdd.unpersist(True)
+        for jrdd in list(jsc.getPersistentRDDs().values()):
+            if not include_checkpoints:
+                try:
+                    r = jrdd.rdd()
+                    if r.isCheckpointed() or r.isLocallyCheckpointed():
+                        continue
+                except Exception:
+                    pass  # no flag accessor: err toward unpersisting
+            jrdd.unpersist(True)
     except Exception:
         pass
     try:

@@ -64,3 +64,30 @@ def test_priority_join_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert F is not None
+
+
+def test_round_robin_parity_distributed_and_exact(spark):
+    """The two-phase rank must (a) equal the naive global window parity
+    on a bigger frame, (b) not plan a SinglePartition exchange for the
+    ranking (ADVICE r02: partitionBy(is_listing) was a 2-partition sort)."""
+    from crawler_spark.functions.geo import _global_rank_parity
+
+    cities = ["sfbay", "chicago", "newyork", "boston"]
+    rows = spark.createDataFrame(
+        [(i, cities[i % 4], i % 3 == 0) for i in range(500)],
+        "k long, city string, is_listing boolean",
+    ).repartition(8)
+
+    got = {r["k"]: r["_rr"]
+           for r in _global_rank_parity(rows, "is_listing", "k").collect()}
+    # naive oracle: global rank within group ordered by k
+    by_group: dict[bool, list[int]] = {}
+    for i in range(500):
+        by_group.setdefault(i % 3 == 0, []).append(i)
+    for g, ks in by_group.items():
+        for rank, k in enumerate(sorted(ks), start=1):
+            assert got[k] == rank % 2, (g, k)
+
+    plan = _global_rank_parity(rows, "is_listing", "k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
