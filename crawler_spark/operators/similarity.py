@@ -251,25 +251,32 @@ def near_dup_ann(
     Replaces the bounded cross join of `embedding_near_dup` at scale.
     """
     bands = lsh_bands_udf(n_tables, n_planes, dim, seed)
+    # ids ONLY ride through the band join and the pair-dedup exchange —
+    # at dim >> 64 carrying both full vectors through those two shuffles
+    # doubles the shuffled bytes (round-2 verdict #6); vectors re-join
+    # for the verify on the (far smaller) deduped candidate set, the
+    # same shape verify_pairs_jaccard uses for MinHash.
     sig = corpus.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
         F.posexplode(bands(F.col(vec_col))).alias("table", "bucket"),
     )
-    a = sig.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("va"), "table", "bucket"
-    )
-    b = sig.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "table", "bucket"
-    )
+    a = sig.select(F.col("_id").alias("id_a"), "table", "bucket")
+    b = sig.select(F.col("_id").alias("id_b"), "table", "bucket")
     cand = (
         a.join(b, ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cand.withColumn(
-        "cos", cosine(F.col("va"), F.col("vb"))
-    ).where(F.col("cos") >= threshold)
+    vecs = corpus.select(F.col(id_col).alias("_vid"),
+                         F.col(vec_col).alias("_vv"))
+    verified = (
+        cand.join(vecs.select(F.col("_vid").alias("id_a"),
+                              F.col("_vv").alias("va")), "id_a")
+        .join(vecs.select(F.col("_vid").alias("id_b"),
+                          F.col("_vv").alias("vb")), "id_b")
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+    )
     return verified.groupBy(F.col("id_b").alias("dup_id")).agg(
         F.min("id_a").alias("kept_id")
     )
@@ -359,12 +366,19 @@ def ivf_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     nprobe: int = 4,
 ) -> DataFrame:
     """IVF ANN top-k: corpus indexed to its nearest cell (nprobe=1);
     queries probe their nprobe nearest cells; exact cosine re-ranking
-    within probed cells only."""
+    within probed cells only.
+
+    ``n_cells`` defaults to the sqrt(N) heuristic (one count job at build
+    time): cells scanned per query ~ nprobe*N/C and join-key cardinality
+    ~ C balance at C ~ sqrt(N) — a fixed small C would make the cell join
+    a C-key hotspot at scale (round-2 verdict note)."""
+    if n_cells is None:
+        n_cells = max(4, int(corpus.count() ** 0.5))
     centroids = sample_centroids(corpus, id_col, vec_col, n_cells)
     c_assign = cell_assign_udf(centroids, nprobe=1)
     q_assign = cell_assign_udf(centroids, nprobe=nprobe)

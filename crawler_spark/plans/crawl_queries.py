@@ -292,34 +292,104 @@ def crawl_pages_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- image payload queries (no SQL-expressible oracle: binary codec +
-# PSNR in Arrow UDFs -> rows-only driver check; full invariants asserted
-# in tests/test_images.py) ---
+# --- image payload queries, ORACLE-CHECKED (round-2 verdict #5) ---
+#
+# The codec invariants reduce to arithmetic DuckDB can restate:
+#  * payload length: header (12) + w*h*3 bytes, exactly, per row;
+#  * lossy PSNR is the SAME constant for every qrgb6 image: the decode
+#    error per channel is (px mod 4) - 2, and each channel formula
+#    ((3x+7id)%256, (5y+13id)%256, (x+y+id)%256) cycles uniformly over
+#    residues mod 4 across a 32-wide row, so MSE = (4+1+0+1)/4 = 1.5
+#    EXACTLY (integer sums in float64) => PSNR = 10*log10(255^2/1.5);
+#  * lossless rows decode bit-exact (PSNR capped at 99.0);
+#  * caption/phash re-derivation matches for every row.
 
-@register("image_payload_verify", oracle=None)
+@register(
+    "image_payload_verify",
+    oracle="""
+    WITH nn AS (SELECT LEAST(COUNT(*), 2000) AS n FROM documents),
+    ids AS (
+      SELECT r.range AS id FROM range(0, 2000) r
+      WHERE r.range < (SELECT n FROM nn)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(COUNT(*) AS BIGINT) AS n_caption_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_phash_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_psnr_ok,
+           CAST(SUM(CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lossy,
+           ROUND(CASE WHEN SUM(CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END) > 0
+                      THEN 10 * log10(255.0 * 255.0 / 1.5)
+                      ELSE 99.0 END, 4) AS min_psnr_db,
+           CAST(COUNT(*) * (12 + 32 * 32 * 3) AS BIGINT) AS payload_bytes
+    FROM ids
+    """,
+)
 def image_payload_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..frontier import images as I
 
     n = min(load_table(spark, sf_dir, "documents").count(), 2000)
     imgs = I.images_table(spark, n)
     v = I.verify_payload(imgs)
-    return v.agg(
+    agg = v.agg(
         F.count("*").alias("n_images"),
-        F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
-        F.sum((F.col("psnr_db") >= 40.0).cast("int")).alias("n_psnr_ok"),
-        F.min("psnr_db").alias("min_psnr_db"),
+        F.sum(F.col("caption_ok").cast("long")).alias("n_caption_ok"),
+        F.sum(F.col("phash_ok").cast("long")).alias("n_phash_ok"),
+        F.sum((F.col("psnr_db") >= 40.0).cast("long")).alias("n_psnr_ok"),
+        F.sum((F.col("fmt") == "qrgb6").cast("long")).alias("n_lossy"),
+        F.round(F.min("psnr_db"), 4).alias("min_psnr_db"),
+    )
+    size = imgs.agg(F.sum(F.length("bytes")).alias("payload_bytes"))
+    return agg.crossJoin(size)  # two 1-row aggregates
+
+
+def _phash_values_sql() -> str:
+    """The 256 distinct phashes as a VALUES list: pixels are linear in id
+    mod 256 per channel, so phash(id) = phash(id % 256).  Computed with
+    the SCALAR reference implementation (_phash/_pixels) at import time —
+    the Spark side uses the batch form, so the driver check also pins
+    batch == scalar."""
+    from ..frontier.images import _phash, _pixels
+
+    return ", ".join(
+        f"({i}, CAST({_phash(_pixels(i, 32, 32))} AS BIGINT))"
+        for i in range(256)
     )
 
 
-@register("image_phash_near_dup", oracle=None)
+@register(
+    "image_phash_near_dup",
+    oracle=f"""
+    WITH ph(pid, ph) AS (VALUES {{values}}),
+    nn AS (SELECT LEAST(COUNT(*), 2000) AS n FROM documents),
+    imgs AS (
+      SELECT r.range AS id, p.ph
+      FROM range(0, 2000) r JOIN ph p ON r.range % 256 = p.pid
+      WHERE r.range < (SELECT n FROM nn)
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             bit_count(xor(a.ph, b.ph)) AS hamming
+      FROM imgs a JOIN imgs b ON a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM pairs WHERE hamming <= 6
+    """.format(values=_phash_values_sql()),
+)
 def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded phash near-dup pairs vs a brute-force Hamming oracle over
+    the (tiny, period-256) phash vocabulary — a full value check of the
+    pigeonhole recall guarantee: any pair the 8x8-bit band join missed at
+    hamming <= 6 would hash-fail against the brute force."""
     from ..frontier import images as I
 
     n = min(load_table(spark, sf_dir, "documents").count(), 2000)
-    imgs = I.images_table(spark, n)
+    imgs = I.images_table(spark, n).select(
+        F.col("image_id").cast("long").alias("image_id"), "phash"
+    )
     pairs = I.phash_near_dupes(imgs, max_hamming=6)
-    return pairs.agg(
-        F.count("*").alias("n_pairs"),
-        F.min("hamming").alias("min_hamming"),
-        F.max("hamming").alias("max_hamming"),
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
     )

@@ -233,16 +233,65 @@ def embedding_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed ANN — the scale path (pandas-UDF hyperplane signatures).
-# Not SQL-expressible (seeded numpy hyperplanes) -> rows-only check.
+# LSH-bucketed ANN with a FULL value oracle via planted structure
+# (round-2 verdict #4): the corpus is augmented with x2-scaled duplicate
+# vectors used as queries. x2 is exact in float32 and preserves every
+# hyperplane projection sign, so each query provably lands in the same
+# bucket as its original; the original is the global top-1 (cos = 1.0 vs
+# background max ~0.47), so the in-bucket exact re-rank at k=1 equals
+# brute force — DuckDB restates it as plain brute-force top-1.  The k=5
+# tail is bucket-dependent (not SQL-expressible) and stays covered by
+# tests/test_similarity_ivf.py recall assertions.
 # ---------------------------------------------------------------------------
 
+_ANN_TOP1_ORACLE = """
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+    ), aug AS (
+      SELECT vec_id, embedding FROM base
+      UNION ALL
+      SELECT vec_id + 10000,
+             list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+      FROM base WHERE vec_id < 25
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS qv FROM aug WHERE vec_id >= 10000
+    ), scored AS (
+      SELECT q_id, c.vec_id AS n_id,
+             {dot_qn} / (sqrt({dot_qq}) * sqrt({dot_nn})) AS cos
+      FROM aug c, q WHERE c.vec_id <> q_id
+    )
+    SELECT q_id, n_id, CAST(rank AS INT) AS rank, ROUND(cos, 4) AS cos_sim
+    FROM (
+      SELECT q_id, n_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank = 1
+    """.format(
+    dot_qn=_DOT.format(a="qv", b="c.embedding"),
+    dot_qq=_DOT.format(a="qv", b="qv"),
+    dot_nn=_DOT.format(a="c.embedding", b="c.embedding"),
+)
 
-@register("embedding_ann_lsh", oracle=None)
+
+def _planted_corpus_and_queries(spark: SparkSession, sf_dir: str):
+    """Corpus + x2-scaled planted duplicates (ids +10000) as queries."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    dups = base.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(2.0).cast("float")
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(dups)
+    return aug, aug.where(F.col("vec_id") >= 10000)
+
+
+@register("embedding_ann_lsh", oracle=_ANN_TOP1_ORACLE)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    queries = e.where(F.col("vec_id") < 5)
-    return SIM.lsh_ann_topk(e, queries, "vec_id", "embedding", k=5)
+    aug, queries = _planted_corpus_and_queries(spark, sf_dir)
+    return SIM.lsh_ann_topk(aug, queries, "vec_id", "embedding", k=1)
 
 
 # ---------------------------------------------------------------------------
@@ -438,15 +487,19 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_ann_ivf", oracle=None)
+@register("embedding_ann_ivf", oracle=_ANN_TOP1_ORACLE)
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (nprobe cell search + exact re-rank) — rows-only check;
-    recall vs brute force asserted in tests/test_similarity_ivf.py."""
+    """IVF ANN (nprobe cell search + exact re-rank) against the same
+    planted-top-1 brute-force oracle as the LSH path: cell assignment
+    normalizes vectors, and the x2-scaled query normalizes to the
+    bit-identical unit vector as its original, so the query's first
+    probed cell IS the original's cell for ANY centroid set — top-1
+    provably equals brute force.  n_cells left to the sqrt(N) default;
+    k=5 recall stays asserted in tests/test_similarity_ivf.py."""
     from ..operators.similarity import ivf_topk
 
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 50)
-    return ivf_topk(e, q, "vec_id", "embedding", k=5, n_cells=16, nprobe=4)
+    aug, queries = _planted_corpus_and_queries(spark, sf_dir)
+    return ivf_topk(aug, queries, "vec_id", "embedding", k=1, nprobe=4)
 
 
 # ---------------------------------------------------------------------------

@@ -16,15 +16,20 @@ def emb(spark):
     return df.localCheckpoint()
 
 
-def test_ivf_recall_vs_brute(spark, emb):
-    queries = emb.where(F.col("vec_id") < 20)
-    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
-    approx = ivf_topk(emb, queries, "vec_id", "embedding", k=5,
-                      n_cells=16, nprobe=6)
+@pytest.mark.parametrize("n_corpus", [120, 500])
+def test_ivf_recall_vs_brute(spark, emb, n_corpus):
+    """Recall at two corpus sizes with NO manual n_cells: the sqrt(N)
+    default must hold the recall floor as the corpus grows (round-2
+    verdict #9 — a fixed 16 cells was a silent scale parameter)."""
+    corpus = emb.where(F.col("vec_id") < n_corpus)
+    queries = corpus.where(F.col("vec_id") < 20)
+    exact = cosine_topk(corpus, queries, "vec_id", "embedding", k=5)
+    approx = ivf_topk(corpus, queries, "vec_id", "embedding", k=5,
+                      nprobe=6)
     want = {(r["q_id"], r["n_id"]) for r in exact.collect()}
     got = {(r["q_id"], r["n_id"]) for r in approx.collect()}
     recall = len(want & got) / len(want)
-    assert recall >= 0.6, recall
+    assert recall >= 0.6, (n_corpus, recall)
 
 
 def test_near_dup_ann_recall_on_noisy_dups(spark, emb):
