@@ -159,7 +159,7 @@ def run_round(
     seen_bloom=None,
     collect_metrics: bool = True,
     cooldown_rounds: int = 1,
-    fetch_broadcast: bool = True,
+    fetch_plan: str = "broadcast",
     checkpoint_fetched: bool = True,
 ) -> tuple[CrawlState, DataFrame]:
     """Execute one scheduling round (spec steps 1-8). Returns (state', batch).
@@ -192,14 +192,18 @@ def run_round(
         # bounded: ≤ k_per_host * active_hosts rows
         batch = batch.localCheckpoint(eager=True)
 
-    # 3. fetch = join against the synthetic web (J7). The batch is bounded
-    # by k_per_host * active_hosts — broadcast it so the (arbitrarily
-    # large) web/content table streams map-side instead of re-shuffling
-    # every round: 1M-page probe went 74s -> ~8s per round. If the batch
-    # ever outgrows broadcast (10^6+ hosts at high k), the production
-    # answer is a content table bucketed by url so rounds join
-    # shuffle-free, not a bigger broadcast (set fetch_broadcast=False to
-    # fall back to AQE's shuffled join).
+    # 3. fetch = join against the synthetic web (J7), per ``fetch_plan``:
+    #  * "broadcast" (default): the batch is bounded by k_per_host *
+    #    active_hosts — broadcast it so the (arbitrarily large) web/
+    #    content table streams map-side instead of re-shuffling every
+    #    round: 1M-page probe went 74s -> ~8s per round.
+    #  * "bucketed": the 10^6+-host path when the batch outgrows
+    #    broadcast — caller passes ``web`` read from a url-bucketed table
+    #    (frontier/bucketed.py); the equi-join then exchanges ONLY the
+    #    batch side, the web table never moves again (plan-asserted in
+    #    tests/test_bucketed_join.py; measured in BENCH.md).
+    #  * "shuffle": AQE's plain shuffled join (baseline; web re-shuffles
+    #    per round).
     web_cols = web.select(
         "url", "page_id", "kind", "status", "outlinks", "image_id",
         # headers metadata (JSONB/Mongo-doc analogue, SURVEY §1.2): a web
@@ -207,10 +211,12 @@ def run_round(
         (F.col("headers") if "headers" in web.columns
          else F.lit(None).cast("map<string,string>")).alias("headers"),
     )
-    if fetch_broadcast:
+    if fetch_plan == "broadcast":
         fetched = web_cols.join(F.broadcast(batch), "url", "inner")
-    else:
+    elif fetch_plan in ("shuffle", "bucketed"):
         fetched = batch.join(web_cols, "url", "inner")
+    else:
+        raise ValueError(f"unknown fetch_plan {fetch_plan!r}")
     if checkpoint_fetched:
         # one web scan per round: ok/failed/dead/pages all reuse these
         # blocks instead of re-running the broadcast join per sink.

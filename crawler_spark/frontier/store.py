@@ -152,6 +152,7 @@ def run_crawl_checkpointed(
     bloom_capacity: int = 100_000,
     cooldown_rounds: int = 1,
     images: DataFrame | None = None,
+    fetch_plan: str = "broadcast",
 ) -> int:
     """Run (or RESUME) a crawl to ``rounds`` total rounds. Each round reads
     state from the last commit and writes one new commit — a crash between
@@ -185,7 +186,8 @@ def run_crawl_checkpointed(
                 store, state, r, bloom_capacity, bloom_buckets)
         state, batch = run_round(spark, state, web, robots, r, k_per_host,
                                  collect_metrics=False, seen_bloom=seen_bloom,
-                                 cooldown_rounds=cooldown_rounds)
+                                 cooldown_rounds=cooldown_rounds,
+                                 fetch_plan=fetch_plan)
         # per-partition lineage (F1/F5): rows per shuffle partition of the
         # batch — the skew signal a 1000-executor operator would alarm on.
         lineage = (

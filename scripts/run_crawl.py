@@ -36,6 +36,14 @@ def main() -> None:
     ap.add_argument("--with-payload", action="store_true",
                     help="carry image+caption binary payload into pages")
     ap.add_argument("--cooldown-rounds", type=int, default=1)
+    ap.add_argument("--fetch-plan", default="broadcast",
+                    choices=["broadcast", "shuffle", "bucketed"],
+                    help="fetch-join strategy; 'bucketed' lays the web "
+                         "table out bucketed by url ONCE (timed "
+                         "separately) so every round's join exchanges "
+                         "only the batch side")
+    ap.add_argument("--buckets", type=int, default=64,
+                    help="bucket count for --fetch-plan bucketed")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,6 +65,17 @@ def main() -> None:
 
     store = RoundStore(spark, args.warehouse)
     resumed_from = store.latest_round()
+    layout_sec = 0.0
+    if args.fetch_plan == "bucketed":
+        # One-time layout cost, amortized over every subsequent round
+        # (and every resume — the table persists in the warehouse).
+        from crawler_spark.frontier.bucketed import write_bucketed
+
+        t_b = time.perf_counter()
+        write_bucketed(web, "web_bucketed", args.buckets)
+        layout_sec = time.perf_counter() - t_b
+        web = spark.table("web_bucketed")
+
     t0 = time.perf_counter()
     images = None
     if args.with_payload:
@@ -68,6 +87,7 @@ def main() -> None:
         use_bloom=args.use_bloom,
         cooldown_rounds=args.cooldown_rounds,
         images=images,
+        fetch_plan=args.fetch_plan,
     )
     dt = time.perf_counter() - t0
 
@@ -79,6 +99,8 @@ def main() -> None:
         "fetches": log.count(),
         "seen_urls": seen.count(),
         "wall_sec": round(dt, 2),
+        "fetch_plan": args.fetch_plan,
+        "bucket_layout_sec": round(layout_sec, 2),
     }))
 
 

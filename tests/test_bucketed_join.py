@@ -79,3 +79,45 @@ def test_bucketed_values_equal_broadcast(spark, tables):
         .select("url").collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_run_round_bucketed_plan_equals_broadcast(spark, tables):
+    """fetch_plan='bucketed' through the REAL engine: same round output
+    as the broadcast plan, and the fetch join's physical plan has no
+    Exchange above the bucketed web scan (only the batch side moves)."""
+    from crawler_spark.frontier.engine import CrawlState, enqueue, run_round
+    from crawler_spark.frontier import synth
+
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, N_PAGES, 6, N_HOSTS)
+    empty_seen = seeds.select("url").limit(0)
+    first = enqueue(seeds.select("url").dropDuplicates(["url"]),
+                    empty_seen, robots, disc_round=0)
+
+    def one_round(web, plan, lazy=False):
+        state = CrawlState(frontier=first, seen=first.select("url"))
+        st, batch = run_round(spark, state, web, robots, 1, 2,
+                              collect_metrics=False, fetch_plan=plan,
+                              checkpoint_fetched=lazy is False)
+        return st, batch
+
+    st_b, _ = one_round(tables["web"], "broadcast")
+    bweb = spark.table("t_web_b")
+    with _no_broadcast(spark):
+        st_k, _ = one_round(bweb, "bucketed")
+        rows_b = sorted(map(tuple, st_b.pages[-1].select(
+            "url", "page_id", "seq").collect()))
+        rows_k = sorted(map(tuple, st_k.pages[-1].select(
+            "url", "page_id", "seq").collect()))
+    assert rows_b == rows_k and rows_b
+
+    # Plan shape (lazy round): the web scan must report "Bucketed: true",
+    # which Spark only emits when the join actually exploited the
+    # bucketing — i.e. no Exchange was planned above that scan (an unused
+    # bucketed scan prints "Bucketed: false (disabled by query planner)").
+    with _no_broadcast(spark):
+        st_l, _ = one_round(bweb, "bucketed", lazy=True)
+        plan = _plan(st_l.pages[-1])
+    assert "Bucketed: true" in plan
+    assert "disabled by query planner" not in plan
+    assert "SortMergeJoin" in plan
