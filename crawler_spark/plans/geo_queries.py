@@ -80,14 +80,40 @@ def priority_assign_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coords_values() -> str:
+    """The frozen state-coords fixture as a VALUES list — the dim IS the
+    artifact under test (same precedent as the city dim above); the
+    haversine is restated independently in SQL."""
+    from ..functions.geo import _load, state_regions
+
+    regions = state_regions()
+    return ", ".join(
+        f"('{s}', {float(ll[0])!r}, {float(ll[1])!r}, {regions[s]})"
+        for s, ll in sorted(_load("state_coords.json").items())
+    )
+
+
 @register(
     "state_coords_radius",
-    oracle=None,  # the haversine-over-fixture form; fixture states counted
+    oracle=f"""
+    WITH dim(state, lat, lon, region) AS (VALUES {{values}}),
+    ks AS (SELECT lat AS qlat, lon AS qlon FROM dim WHERE state = 'KS'),
+    d AS (
+      SELECT state, region,
+             ROUND(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(lat - qlat) / 2), 2)
+               + cos(radians(lat)) * cos(radians(qlat))
+               * pow(sin(radians(lon - qlon) / 2), 2))), 1) AS dist_km
+      FROM dim, ks
+    )
+    SELECT state, CAST(region AS INT) AS region, dist_km
+    FROM d WHERE dist_km <= 1500.0
+    """.format(values=_coords_values()),
 )
 def state_coords_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 over the frozen coords dim: states within 1500 km of the
-    fixture's Kansas centroid (rows-only: the fixture is engine-internal;
-    the haversine math itself is oracle-checked by nearby_radius)."""
+    fixture's Kansas centroid, value-checked against an independent SQL
+    haversine over the inlined fixture."""
     from ..functions.geo import state_coords_dim
 
     dim = state_coords_dim(spark)
