@@ -258,3 +258,87 @@ def phash_near_dupes(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return cand.withColumn("hamming", hamming).where(hamming <= max_hamming) \
                .select("id_a", "id_b", "hamming")
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode -> nearest-neighbor resample -> re-encode, preserving each
+    row's format (the resize stage of a multimodal ingest pipeline; the
+    reference stores originals only, file_storage.py:279-293 — thumbnails
+    are new capability). Pixel-center sampling grid
+    ``src = floor((i + 0.5) * src_dim / dst_dim)`` (PIL NEAREST), pure
+    integer indexing — deterministic on any executor, no interpolation
+    float drift. One vectorized numpy pass per Arrow batch per (w, h)
+    group; phash recomputed on the resized plane.
+
+    Plumbing contract (what a real-codec swap keeps): binary in/binary
+    out, schema unchanged, bounded Arrow batches (session.py caps
+    maxRecordsPerBatch for payload columns)."""
+    hdr_raw = HEADER.pack(MAGIC_RAW, out_w, out_h, 0)
+    hdr_q6 = HEADER.pack(MAGIC_Q6, out_w, out_h, 0)
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_frames = []
+            for (w_, h_), grp in pdf.groupby(["w", "h"], sort=False):
+                w_, h_ = int(w_), int(h_)
+                sy = ((np.arange(out_h) + 0.5) * h_ // out_h).astype(np.int64)
+                sx = ((np.arange(out_w) + 0.5) * w_ // out_w).astype(np.int64)
+                decoded = np.stack([_decode(bytes(b)) for b in grp["bytes"]])
+                small = decoded[:, sy[:, None], sx[None, :], :]
+                ph = _phash_batch(small)
+                q = (small >> 2).astype(np.uint8)
+                rows = []
+                for j, (iid, fmt, cap) in enumerate(
+                    zip(grp["image_id"], grp["fmt"], grp["caption"])
+                ):
+                    if fmt == "qrgb6":
+                        body = hdr_q6 + q[j].tobytes()
+                    else:
+                        body = hdr_raw + small[j].tobytes()
+                    rows.append((iid, body, out_w, out_h, fmt, cap,
+                                 int(ph[j])))
+                out_frames.append(pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                                   "caption", "phash"]))
+            yield (pd.concat(out_frames) if out_frames else pd.DataFrame(
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption",
+                         "phash"]))
+
+    return images.mapInPandas(rz, IMAGES_SCHEMA)
+
+
+def image_features(images: DataFrame, grid: int = 8) -> DataFrame:
+    """Decode -> feature-extract: L2-normalized thumbnail vector
+    (nearest-neighbor grid x grid subsample, all 3 channels ->
+    ``embedding array<float>`` of 3*grid^2 dims) — the bridge from the
+    binary payload table into the similarity/ANN operators
+    (operators/similarity.py), so image near-dup runs through the SAME
+    LSH/IVF/cosine machinery as text embeddings. One numpy pass per
+    Arrow batch. Identical pixels (ids congruent mod 256 in the
+    synthetic corpus) map to identical unit vectors (cos = 1.0); on this
+    deliberately smooth gradient corpus distinct images still reach
+    cos ~0.9998 (everything is a near-dup of everything — a property of
+    the corpus, not the operator), so thresholds live in (0.9998, 1)."""
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_frames = []
+            for (w_, h_), grp in pdf.groupby(["w", "h"], sort=False):
+                w_, h_ = int(w_), int(h_)
+                sy = ((np.arange(grid) + 0.5) * h_ // grid).astype(np.int64)
+                sx = ((np.arange(grid) + 0.5) * w_ // grid).astype(np.int64)
+                decoded = np.stack([_decode(bytes(b)) for b in grp["bytes"]])
+                thumb = decoded[:, sy[:, None], sx[None, :], :].astype(
+                    np.float64)
+                v = thumb.reshape(len(thumb), grid * grid * 3)
+                v = v / np.maximum(
+                    np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+                out_frames.append(pd.DataFrame({
+                    "image_id": grp["image_id"].to_numpy(),
+                    "embedding": [row.astype(np.float32).tolist()
+                                  for row in v],
+                }))
+            yield (pd.concat(out_frames) if out_frames else pd.DataFrame(
+                columns=["image_id", "embedding"]))
+
+    return images.mapInPandas(feat, "image_id string, embedding array<float>")

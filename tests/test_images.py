@@ -80,3 +80,62 @@ def test_phash_near_dupes_finds_self_similar(spark, imgs):
             key = tuple(sorted((str(p), str(p + 256))))
             assert key in got or (key[1], key[0]) in got
     assert expected_some > 0
+
+
+def test_resize_nearest_exact(spark):
+    """Nearest-neighbor resize of a lossless image must equal the source
+    pixels sampled at the integer-mapped coordinates — exact, no
+    interpolation drift — and re-encode with the right header/length."""
+    import numpy as np
+
+    from crawler_spark.frontier import images as I
+
+    imgs = I.images_table(spark, 12, w=32, h=32)
+    small = I.resize_images(imgs, 8, 8)
+    rows = {r["image_id"]: r for r in small.collect()}
+    assert len(rows) == 12
+    sy = ((np.arange(8) + 0.5) * 32 // 8).astype(int)
+    sx = sy
+    for iid, r in rows.items():
+        assert (r["w"], r["h"]) == (8, 8)
+        assert len(r["bytes"]) == 12 + 8 * 8 * 3
+        decoded = I._decode(bytes(r["bytes"]))
+        src = I._pixels(int(iid), 32, 32)
+        want = src[sy[:, None], sx[None, :], :]
+        if r["fmt"] == "rgb8":
+            assert (decoded == want).all(), iid
+        else:  # lossy plane: within quantization step of the source
+            assert np.abs(decoded.astype(int) - want.astype(int)).max() <= 2
+        assert r["caption"] == I.caption_of(int(iid))
+
+
+def test_image_features_feed_ann_near_dup(spark):
+    """decode -> feature-extract -> the SAME near-dup ANN operator used
+    for text embeddings, on the lossless slice (fmt='rgb8', so decode is
+    bit-exact and identity is purely pixel identity). Pixels cycle with
+    id mod 256, so ids congruent mod 256 have unit-identical features
+    (cos exactly 1.0 — found under ANY hyperplane set: identical vectors
+    share every band bucket); the deterministic non-identical ceiling on
+    this smooth corpus is cos 0.99981, so the 0.9999 threshold admits
+    exactly the identity classes, and the min-id representative election
+    must map every later class member to the class minimum."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.frontier import images as I
+    from crawler_spark.operators.similarity import near_dup_ann
+
+    imgs = I.images_table(spark, 1000, w=32, h=32).where(
+        F.col("fmt") == "rgb8")  # ids 0..999 with id % 3 != 0
+    feats = I.image_features(imgs).select(
+        F.col("image_id").cast("long").alias("vec_id"),
+        F.col("embedding"),
+    )
+    out = near_dup_ann(feats, "vec_id", "embedding", threshold=0.9999,
+                       dim=192)
+    got = {(r["kept_id"], r["dup_id"]) for r in out.collect()}
+    classes: dict[int, list[int]] = {}
+    for i in range(1000):
+        if i % 3 != 0:
+            classes.setdefault(i % 256, []).append(i)
+    want = {(c[0], b) for c in classes.values() for b in c[1:]}
+    assert got == want, (got - want, want - got)
