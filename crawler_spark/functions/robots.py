@@ -31,6 +31,9 @@ Semantics mirrored from the stdlib parser (verified 1:1 against
 * first matching specific group in file order wins;
 * ``Disallow:`` with empty path parses as allow-all;
 * rule paths are unquoted then re-quoted (RFC 3986 normalization);
+* the per-URL decision string gets the SAME unquote/re-quote treatment
+  (can_fetch's ``quote(urlunparse(urlparse(unquote(url))))``), built in
+  native column algebra — see ``_stdlib_decision_string``;
 * ``Crawl-delay`` accepted only for integer values.
 
 At 10^10-URL scale the parse cost is O(hosts), the decision cost is one
