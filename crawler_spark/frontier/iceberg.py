@@ -1,0 +1,144 @@
+"""Iceberg production mapping of the RoundStore commit protocol.
+
+No Iceberg runtime jar ships in this sandbox (SURVEY.md §7 step 0), so
+the engine runs on the parquet round-snapshot stand-in
+(`store.py::RoundStore` — manifest-last atomic visibility, time travel,
+resume). This module pins the seam's OTHER side: the exact DDL and
+per-round SQL a cluster deployment executes against Iceberg tables, one
+statement per store operation, so swapping the stand-in for Iceberg is a
+config change, not a design task. Every statement is parse-validated
+against Spark's SQL parser in tests/test_iceberg_sql.py (full execution
+needs the runtime jar; parsing does not).
+
+Mapping (north rule: "10^10-entry frontier held in Iceberg tables ...
+merges discovered outlinks back into the frontier with MERGE INTO"):
+
+  RoundStore.commit("frontier") -> MERGE INTO frontier   (batch rows
+      deleted, retries updated, discoveries inserted — one snapshot)
+  RoundStore.commit("seen")     -> MERGE INTO seen       (insert-if-absent)
+  RoundStore.commit("hosts")    -> MERGE INTO hosts      (upsert last_fetch)
+  fetch_log / pages / dlq / metrics deltas -> INSERT INTO (append-only)
+  resume                        -> read snapshot as of the last published
+                                   wap.id (all-or-nothing round visibility)
+
+Cross-table round atomicity uses Iceberg's write-audit-publish staging:
+every write in round r carries `spark.wap.id = "round-<r>"`; readers pin
+published snapshots only, and the round publishes by fast-forwarding each
+table to its audited snapshot — exactly the role `_commits/r{N}.json`
+plays in the stand-in. Layout mirrors `frontier/bucketed.py`:
+`bucket(N, url)` partition transforms give the storage-partitioned
+(zero-Exchange) fetch and seen joins.
+"""
+
+from __future__ import annotations
+
+BUCKETS = 64
+
+DDL: dict[str, str] = {
+    "frontier": f"""
+        CREATE TABLE IF NOT EXISTS wh.frontier (
+          url STRING, host_id INT, priority INT,
+          disc_round INT, retry_count INT, eligible_round INT)
+        USING iceberg
+        PARTITIONED BY (bucket({BUCKETS}, url))
+        TBLPROPERTIES ('write.distribution-mode' = 'hash',
+                       'format-version' = '2',
+                       'write.merge.mode' = 'merge-on-read')""",
+    "seen": f"""
+        CREATE TABLE IF NOT EXISTS wh.seen (url STRING)
+        USING iceberg
+        PARTITIONED BY (bucket({BUCKETS}, url))
+        TBLPROPERTIES ('format-version' = '2')""",
+    "hosts": """
+        CREATE TABLE IF NOT EXISTS wh.hosts (
+          host_id INT, last_fetch_round INT)
+        USING iceberg""",
+    "fetch_log": """
+        CREATE TABLE IF NOT EXISTS wh.fetch_log (
+          round INT, priority INT, host_id INT, url STRING, seq INT)
+        USING iceberg
+        PARTITIONED BY (round)""",
+    "pages": f"""
+        CREATE TABLE IF NOT EXISTS wh.pages (
+          round INT, url STRING, page_id BIGINT, kind STRING,
+          image_id BIGINT, priority INT, host_id INT, seq INT,
+          headers MAP<STRING, STRING>,
+          bytes BINARY, w INT, h INT, fmt STRING,
+          caption STRING, phash BIGINT)
+        USING iceberg
+        PARTITIONED BY (round, bucket({BUCKETS}, url))""",
+    "dlq": """
+        CREATE TABLE IF NOT EXISTS wh.dlq (
+          round INT, url STRING, host_id INT, priority INT,
+          disc_round INT, retry_count INT, eligible_round INT)
+        USING iceberg
+        PARTITIONED BY (round)""",
+    "metrics": """
+        CREATE TABLE IF NOT EXISTS wh.metrics (
+          round INT, n_batch BIGINT, n_fetched BIGINT, n_parts BIGINT,
+          max_part_rows BIGINT, n_hosts_approx BIGINT)
+        USING iceberg""",
+}
+
+# The round's change set, produced by run_round as a temp view with an
+# `op` discriminator: 'remove' (fetched this round), 'requeue' (failed,
+# retry_count bumped), 'insert' (new discovery that passed robots +
+# dedupe). One MERGE applies all three — a single frontier snapshot.
+MERGE_FRONTIER = """
+    MERGE INTO wh.frontier t
+    USING round_frontier_changes c
+    ON t.url = c.url
+    WHEN MATCHED AND c.op = 'remove' THEN DELETE
+    WHEN MATCHED AND c.op = 'requeue' THEN UPDATE SET
+      t.retry_count = c.retry_count,
+      t.eligible_round = c.eligible_round
+    WHEN NOT MATCHED AND c.op = 'insert' THEN INSERT
+      (url, host_id, priority, disc_round, retry_count, eligible_round)
+      VALUES (c.url, c.host_id, c.priority, c.disc_round,
+              c.retry_count, c.eligible_round)"""
+
+# First-discovery-wins (D1/D3): insert-if-absent, never update — the
+# MERGE form of the engine's left_anti + union.
+MERGE_SEEN = """
+    MERGE INTO wh.seen t
+    USING round_new_urls c
+    ON t.url = c.url
+    WHEN NOT MATCHED THEN INSERT (url) VALUES (c.url)"""
+
+MERGE_HOSTS = """
+    MERGE INTO wh.hosts t
+    USING round_host_fetches c
+    ON t.host_id = c.host_id
+    WHEN MATCHED THEN UPDATE SET t.last_fetch_round = c.round
+    WHEN NOT MATCHED THEN INSERT (host_id, last_fetch_round)
+      VALUES (c.host_id, c.round)"""
+
+APPEND = {
+    "fetch_log": """
+        INSERT INTO wh.fetch_log
+        SELECT round, priority, host_id, url, seq FROM round_fetch_log""",
+    "pages": """
+        INSERT INTO wh.pages
+        SELECT round, url, page_id, kind, image_id, priority, host_id,
+               seq, headers, bytes, w, h, fmt, caption, phash
+        FROM round_pages""",
+    "dlq": """
+        INSERT INTO wh.dlq
+        SELECT round, url, host_id, priority, disc_round, retry_count,
+               eligible_round FROM round_dlq""",
+    "metrics": """
+        INSERT INTO wh.metrics
+        SELECT round, n_batch, n_fetched, n_parts, max_part_rows,
+               n_hosts_approx FROM round_metrics""",
+}
+
+
+def round_statements() -> list[str]:
+    """The ordered statement list one committed round executes on a real
+    cluster (after run_round registers the round_* temp views), all under
+    one `spark.wap.id` so the round publishes atomically."""
+    return [MERGE_SEEN, MERGE_FRONTIER, MERGE_HOSTS, *APPEND.values()]
+
+
+def all_statements() -> list[str]:
+    return [*DDL.values(), *round_statements()]
