@@ -129,6 +129,18 @@ def caption_of(image_id: int) -> str:
     )
 
 
+def _captions_batch(ids: np.ndarray) -> list[str]:
+    """`caption_of` vectorized: the (0,0) pixel is ((7id)%256, (13id)%256,
+    id%256), so no per-row mgrid allocation — one arithmetic pass then
+    string formatting (asserted equal to the scalar form in test_images)."""
+    i = ids.astype(np.int64)
+    r, g, b = (7 * i) % 256, (13 * i) % 256, i % 256
+    return [
+        f"synthetic photo {ii}: dominant rgb ({rr},{gg},{bb})"
+        for ii, rr, gg, bb in zip(i, r, g, b)
+    ]
+
+
 # ---------------------------------------------------------------------------
 # table builders / operators
 # ---------------------------------------------------------------------------
@@ -154,6 +166,7 @@ def images_table(
             px = _pixels_batch(ids, w, h)          # one pass, whole batch
             ph = _phash_batch(px)
             q = (px >> 2).astype(np.uint8)         # lossy plane, whole batch
+            caps = _captions_batch(ids)
             rows = []
             for j, image_id in enumerate(ids):
                 image_id = int(image_id)
@@ -162,8 +175,7 @@ def images_table(
                 else:
                     fmt, body = "rgb8", hdr_raw + px[j].tobytes()
                 rows.append(
-                    (str(image_id), body, w, h, fmt,
-                     caption_of(image_id), int(ph[j]))
+                    (str(image_id), body, w, h, fmt, caps[j], int(ph[j]))
                 )
             yield pd.DataFrame(
                 rows,
@@ -200,8 +212,8 @@ def verify_payload(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
                 ph_ok = grp["phash"].to_numpy(dtype=np.int64) \
                     == _phash_batch(orig)
                 cap_ok = np.array(
-                    [c == caption_of(int(i))
-                     for c, i in zip(grp["caption"], ids)])
+                    [c == want for c, want
+                     in zip(grp["caption"], _captions_batch(ids))])
                 out_frames.append(pd.DataFrame({
                     "image_id": grp["image_id"].to_numpy(),
                     "fmt": grp["fmt"].to_numpy(),

@@ -139,3 +139,12 @@ def test_image_features_feed_ann_near_dup(spark):
             classes.setdefault(i % 256, []).append(i)
     want = {(c[0], b) for c in classes.values() for b in c[1:]}
     assert got == want, (got - want, want - got)
+
+
+def test_captions_batch_equals_scalar():
+    import numpy as np
+
+    from crawler_spark.frontier.images import _captions_batch, caption_of
+
+    ids = np.array([0, 1, 7, 255, 256, 257, 511, 999, 12345])
+    assert _captions_batch(ids) == [caption_of(int(i)) for i in ids]
