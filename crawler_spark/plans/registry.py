@@ -48,6 +48,9 @@ ORACLES: dict[str, str] = {}
 #                              queries remain in-window
 #   state_coords_radius      — J1/J2 fixture path already driver-proven by
 #                              priority_assign + priority_assign_geo
+#   similar_nearby           — the A16 composite endpoint; each predicate
+#                              driver-proven by nearby_radius +
+#                              properties_by_price_type + pages_paginate
 DRIVER_WINDOW = 50
 DRIVER_DEMOTED = [
     "tpch_q1",
@@ -61,6 +64,7 @@ DRIVER_DEMOTED = [
     "properties_by_city",
     "property_by_id",
     "state_coords_radius",
+    "similar_nearby",
 ]
 
 

@@ -243,6 +243,76 @@ def similar_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A16 composite — /properties/similar/nearby (api/main.py:93-143):
+# ST_DWithin radius AND price BETWEEN AND optional type list AND
+# LIMIT/OFFSET, all in ONE query. Each predicate is individually proven
+# by nearby_radius / properties_by_price_type / pages_paginate; this is
+# the composed endpoint form. Deterministic pagination: ORDER BY key
+# before LIMIT/OFFSET (the reference paginates an unordered SELECT —
+# nondeterministic under Postgres, SURVEY §8).
+# ---------------------------------------------------------------------------
+@register(
+    "similar_nearby",
+    oracle="""
+    WITH geo AS (
+      SELECT c_custkey,
+             (CAST(c_custkey % 1000 AS DOUBLE) / 1000.0) * 10.0 + 35.0 AS lat,
+             (CAST((c_custkey // 7) % 1000 AS DOUBLE) / 1000.0) * 10.0 - 100.0 AS lon,
+             CAST(c_acctbal AS DOUBLE) AS price,
+             CASE WHEN c_custkey % 3 = 0 THEN 'apartment'
+                  WHEN c_custkey % 3 = 1 THEN 'house'
+                  ELSE 'condo' END AS property_type
+      FROM customer
+    ), hits AS (
+      SELECT c_custkey, price, property_type,
+             ROUND(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(lat - 40.0) / 2), 2)
+               + cos(radians(lat)) * cos(radians(40.0))
+               * pow(sin(radians(lon - (-95.0)) / 2), 2))), 1) AS dist_km
+      FROM geo
+      WHERE price BETWEEN 1000 AND 6000
+        AND property_type IN ('apartment', 'condo')
+    )
+    SELECT c_custkey, ROUND(price, 2) AS price, property_type, dist_km
+    FROM hits WHERE dist_km <= 400.0
+    ORDER BY c_custkey LIMIT 50 OFFSET 10
+    """,
+)
+def similar_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    geo = c.select(
+        "c_custkey",
+        ((k % 1000).cast("double") / 1000.0 * 10.0 + 35.0).alias("lat"),
+        (((k / 7).cast("long") % 1000).cast("double") / 1000.0 * 10.0
+         - 100.0).alias("lon"),
+        F.col("c_acctbal").cast("double").alias("price"),
+        F.when(k % 3 == 0, "apartment").when(k % 3 == 1, "house")
+        .otherwise("condo").alias("property_type"),
+    )
+    # two-point haversine to the query center (40, -95), matching the
+    # oracle expression term-for-term
+    a = (
+        F.pow(F.sin(F.radians(F.col("lat") - F.lit(40.0)) / 2), 2)
+        + F.cos(F.radians("lat")) * F.cos(F.radians(F.lit(40.0)))
+        * F.pow(F.sin(F.radians(F.col("lon") - F.lit(-95.0)) / 2), 2)
+    )
+    dist = F.round(2 * 6371.0 * F.asin(F.sqrt(a)), 1)
+    return (
+        geo.where(
+            F.col("price").between(1000, 6000)
+            & F.col("property_type").isin("apartment", "condo")
+        )
+        .withColumn("dist_km", dist)
+        .where(F.col("dist_km") <= 400.0)
+        .select("c_custkey", F.round("price", 2).alias("price"),
+                "property_type", "dist_km")
+        .orderBy("c_custkey")
+        .offset(10).limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
 # J5 — bounding-box filter (api/main.py:237-243): pure range predicates
 # (integer comparisons -> parquet min/max pruning at scale).
 # ---------------------------------------------------------------------------

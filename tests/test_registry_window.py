@@ -83,6 +83,7 @@ def test_demoted_coverage_subsumed_by_in_window_sibling():
         "properties_by_city": "nearby_radius",
         "property_by_id": "bbox_filter",
         "state_coords_radius": "priority_assign_geo",
+        "similar_nearby": "nearby_radius",
     }
     assert set(sibling) == set(DRIVER_DEMOTED)
     window = list(ordered_queries())[:DRIVER_WINDOW]
