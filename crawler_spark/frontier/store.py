@@ -294,6 +294,24 @@ def _bloom_for_round(store: RoundStore, state: CrawlState, r: int,
     return bloom
 
 
+def pages_current(store: RoundStore, upto: int | None = None) -> DataFrame:
+    """The reference's ``ON CONFLICT (url) DO UPDATE`` upsert read view
+    (database_service.py:100-109): the pages table as of ``upto`` (default
+    latest) with the LATEST committed round winning per url. Deltas stay
+    append-only on disk (blind fast writes, full history for time travel
+    / content-change diffing); upsert semantics are applied at read time —
+    on Iceberg this view is what the MERGE materializes instead."""
+    from pyspark.sql import Window as W
+
+    d = store.read_deltas("pages", upto=upto)
+    w = W.partitionBy("url").orderBy(F.desc("round"))
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def crawl_report(store: RoundStore) -> DataFrame:
     """Per-round crawl summary joining the metrics, fetch-log and DLQ
     deltas — the operational view the reference scattered across log

@@ -259,3 +259,32 @@ def test_bloom_copy_forward_crash_window(spark, tmp_path, monkeypatch):
     misses = (bloom.with_flag(state.seen)
               .where(~F.col("bloom_maybe")).count())
     assert misses == 0
+
+
+def test_pages_current_upsert_view(spark, tmp_path):
+    """ON CONFLICT (url) DO UPDATE semantics at read time
+    (database_service.py:100-109): a url re-committed in a later round
+    wins in pages_current; earlier versions stay reachable via upto
+    (time travel), and untouched urls pass through."""
+    from crawler_spark.frontier.store import pages_current
+
+    st = RoundStore(spark, str(tmp_path / "pc"))
+    schema = ("round int, url string, page_id long, kind string, "
+              "image_id long, priority int, host_id int, seq int, "
+              "headers map<string,string>")
+
+    def delta(r, rows):
+        return spark.createDataFrame(
+            [(r, u, p, "property", None, 3, 0, 0, {"v": str(p)})
+             for u, p in rows], schema)
+
+    st.commit(1, {"pages": delta(1, [("http://h/a", 1), ("http://h/b", 2)])})
+    st.commit(2, {"pages": delta(2, [("http://h/a", 99)])})
+
+    cur = {r["url"]: (r["round"], r["page_id"], r["headers"]["v"])
+           for r in pages_current(st).collect()}
+    assert cur == {"http://h/a": (2, 99, "99"), "http://h/b": (1, 2, "2")}
+
+    asof1 = {r["url"]: r["page_id"]
+             for r in pages_current(st, upto=1).collect()}
+    assert asof1 == {"http://h/a": 1, "http://h/b": 2}
