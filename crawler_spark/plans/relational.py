@@ -256,8 +256,8 @@ def similar_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH geo AS (
       SELECT c_custkey,
-             (CAST(c_custkey % 1000 AS DOUBLE) / 1000.0) * 10.0 + 35.0 AS lat,
-             (CAST((c_custkey // 7) % 1000 AS DOUBLE) / 1000.0) * 10.0 - 100.0 AS lon,
+             (CAST(c_custkey * 37 % 1000 AS DOUBLE) / 1000.0) * 10.0 + 35.0 AS lat,
+             (CAST(c_custkey * 73 % 1000 AS DOUBLE) / 1000.0) * 10.0 - 100.0 AS lon,
              CAST(c_acctbal AS DOUBLE) AS price,
              CASE WHEN c_custkey % 3 = 0 THEN 'apartment'
                   WHEN c_custkey % 3 = 1 THEN 'house'
@@ -275,7 +275,7 @@ def similar_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_custkey, ROUND(price, 2) AS price, property_type, dist_km
     FROM hits WHERE dist_km <= 400.0
-    ORDER BY c_custkey LIMIT 50 OFFSET 10
+    ORDER BY c_custkey LIMIT 50 OFFSET 2
     """,
 )
 def similar_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,9 +283,8 @@ def similar_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("c_custkey")
     geo = c.select(
         "c_custkey",
-        ((k % 1000).cast("double") / 1000.0 * 10.0 + 35.0).alias("lat"),
-        (((k / 7).cast("long") % 1000).cast("double") / 1000.0 * 10.0
-         - 100.0).alias("lon"),
+        ((k * 37 % 1000).cast("double") / 1000.0 * 10.0 + 35.0).alias("lat"),
+        ((k * 73 % 1000).cast("double") / 1000.0 * 10.0 - 100.0).alias("lon"),
         F.col("c_acctbal").cast("double").alias("price"),
         F.when(k % 3 == 0, "apartment").when(k % 3 == 1, "house")
         .otherwise("condo").alias("property_type"),
@@ -308,7 +307,7 @@ def similar_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.round("price", 2).alias("price"),
                 "property_type", "dist_km")
         .orderBy("c_custkey")
-        .offset(10).limit(50)
+        .offset(2).limit(50)
     )
 
 
