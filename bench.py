@@ -40,6 +40,7 @@ HEADLINE = [
     "robots_can_fetch",
     "token_counts",
     "image_payload_verify",
+    "image_near_dup_pipeline",
 ]
 
 

@@ -393,3 +393,40 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+# --- the composed multimodal near-dup pipeline as ONE driver query:
+# binary payload -> decode -> thumbnail feature-extract -> banded-LSH ANN
+# -> cosine verify -> min-id representative (the image analogue of
+# corpus_clean). Provably oracle-able: on the lossless slice features
+# depend only on id mod 256, so identical ids-mod-256 give cos exactly
+# 1.0 (guaranteed candidates under any hyperplane set) while the
+# cross-class cosine set is the SAME fixed 256x256 family at every scale
+# (measured ceiling 0.99981 < the 0.9999 threshold) — the expected
+# output is pure id arithmetic DuckDB restates.
+@register(
+    "image_near_dup_pipeline",
+    oracle="""
+    WITH nn AS (SELECT LEAST(COUNT(*) * 2, 1200) AS n FROM documents),
+    ids AS (
+      SELECT r.range AS id FROM range(0, 1200) r
+      WHERE r.range < (SELECT n FROM nn) AND r.range % 3 <> 0
+    ),
+    cls AS (SELECT id, id % 256 AS c FROM ids),
+    reps AS (SELECT c, MIN(id) AS kept_id FROM cls GROUP BY c)
+    SELECT r.kept_id, c.id AS dup_id
+    FROM cls c JOIN reps r ON c.c = r.c AND c.id > r.kept_id
+    """,
+)
+def image_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..frontier import images as I
+    from ..operators.similarity import near_dup_ann
+
+    n = min(load_table(spark, sf_dir, "documents").count() * 2, 1200)
+    imgs = I.images_table(spark, n).where(F.col("fmt") == "rgb8")
+    feats = I.image_features(imgs).select(
+        F.col("image_id").cast("long").alias("vec_id"), "embedding"
+    )
+    out = near_dup_ann(feats, "vec_id", "embedding", threshold=0.9999,
+                       dim=192)
+    return out.select("kept_id", "dup_id")

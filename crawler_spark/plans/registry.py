@@ -51,6 +51,9 @@ ORACLES: dict[str, str] = {}
 #   similar_nearby           — the A16 composite endpoint; each predicate
 #                              driver-proven by nearby_radius +
 #                              properties_by_price_type + pages_paginate
+#   image_near_dup_pipeline  — composed decode->feature->ANN chain; each
+#                              stage driver-proven by image_payload_verify
+#                              + embedding_near_dup_ann
 DRIVER_WINDOW = 50
 DRIVER_DEMOTED = [
     "tpch_q1",
@@ -65,6 +68,7 @@ DRIVER_DEMOTED = [
     "property_by_id",
     "state_coords_radius",
     "similar_nearby",
+    "image_near_dup_pipeline",
 ]
 
 

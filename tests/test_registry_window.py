@@ -84,6 +84,7 @@ def test_demoted_coverage_subsumed_by_in_window_sibling():
         "property_by_id": "bbox_filter",
         "state_coords_radius": "priority_assign_geo",
         "similar_nearby": "nearby_radius",
+        "image_near_dup_pipeline": "embedding_near_dup_ann",
     }
     assert set(sibling) == set(DRIVER_DEMOTED)
     window = list(ordered_queries())[:DRIVER_WINDOW]
