@@ -228,6 +228,27 @@ def lsh_bands_udf(n_tables: int, n_planes: int, dim: int, seed: int = 7):
     return bands
 
 
+def cosine_rowwise_udf():
+    """pandas UDF: (va, vb) -> cosine, one numpy einsum per Arrow batch.
+
+    The Arrow verify path for candidate pairs: the HOF fold (``cosine``)
+    is interpreted per pair — at 10^5+ candidates (e.g. a near-degenerate
+    corpus where banding can't prune by angle) it dominates the whole
+    near-dup job. Summation order differs from the fold by ~1 ulp, so use
+    this where the output is a THRESHOLD decision with a float-error-free
+    margin, not a value the oracle hashes."""
+
+    @F.pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-300))
+
+    return cos
+
+
 def near_dup_ann(
     corpus: DataFrame,
     id_col: str,
@@ -269,12 +290,21 @@ def near_dup_ann(
     )
     vecs = corpus.select(F.col(id_col).alias("_vid"),
                          F.col(vec_col).alias("_vv"))
+    # Arrow-batched verify: the candidate set can be large when vectors
+    # are near-parallel (banding prunes by angle; a degenerate corpus
+    # defeats it), and the interpreted fold then dominates. The cosine
+    # only feeds the >= threshold decision here (never hashed by an
+    # oracle), so the einsum path's ulp-level summation difference is
+    # semantics-free as long as callers keep a float-error-free margin
+    # around the threshold (all registered callers do: 1.0-vs-<=0.47 and
+    # 1.0-vs-<=0.99982).
+    cos_rw = cosine_rowwise_udf()
     verified = (
         cand.join(vecs.select(F.col("_vid").alias("id_a"),
                               F.col("_vv").alias("va")), "id_a")
         .join(vecs.select(F.col("_vid").alias("id_b"),
                           F.col("_vv").alias("vb")), "id_b")
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", cos_rw(F.col("va"), F.col("vb")))
         .where(F.col("cos") >= threshold)
     )
     return verified.groupBy(F.col("id_b").alias("dup_id")).agg(
