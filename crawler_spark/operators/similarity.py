@@ -104,6 +104,8 @@ def cosine_topk_matmul(
     def score(batches: "pd.DataFrame") -> "pd.DataFrame":
         cand_q, cand_n, cand_v = [], [], []
         for pdf in batches:
+            if pdf.empty:  # empty Arrow batch: np.stack would raise
+                continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             vecs = pdf[vec_col].to_numpy()
             M = np.stack(vecs).astype(np.float64)
@@ -165,6 +167,8 @@ def lsh_bucket_udf(n_planes: int, dim: int, seed: int = 42):
 
     @F.pandas_udf(LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="int64")
         m = np.stack(vecs.to_numpy())  # (batch, dim) float32
         signs = (m.astype(np.float64) @ planes.T) > 0  # (batch, n_planes)
         weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -219,6 +223,8 @@ def lsh_bands_udf(n_tables: int, n_planes: int, dim: int, seed: int = 7):
 
     @F.pandas_udf("array<long>")
     def bands(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="object")
         m = np.stack(vecs.to_numpy()).astype(np.float64)
         signs = (m @ planes.T) > 0              # (batch, n_tables*n_planes)
         signs = signs.reshape(len(m), n_tables, n_planes)
@@ -240,6 +246,8 @@ def cosine_rowwise_udf():
 
     @F.pandas_udf("double")
     def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="float64")
         a = np.stack(va.to_numpy()).astype(np.float64)
         b = np.stack(vb.to_numpy()).astype(np.float64)
         num = np.einsum("ij,ij->i", a, b)
@@ -381,6 +389,8 @@ def cell_assign_udf(centroids: np.ndarray, nprobe: int = 1):
 
     @F.pandas_udf("array<int>")
     def cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="object")
         m = np.stack(vecs.to_numpy()).astype(np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m @ cnorm.T                       # (batch, C)

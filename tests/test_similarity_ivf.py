@@ -64,3 +64,33 @@ def test_ivf_deterministic(spark, emb):
     a = sorted(map(tuple, ivf_topk(emb, queries, "vec_id", "embedding").collect()))
     b = sorted(map(tuple, ivf_topk(emb, queries, "vec_id", "embedding").collect()))
     assert a == b
+
+
+def test_batch_udfs_survive_empty_partitions(spark):
+    """Arrow batch UDFs must not np.stack an empty batch (ValueError):
+    a filter that empties some partitions — routine at scale — exercises
+    every vectorized UDF family over a frame with mostly-empty splits."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.similarity import (
+        cosine_rowwise_udf, cosine_topk_matmul, ivf_topk, lsh_ann_topk,
+        near_dup_ann,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # 40 partitions, ~30 surviving rows: most partitions come up empty
+    sparse = emb.repartition(40).where(F.col("vec_id") < 30)
+    q = sparse.where(F.col("vec_id") < 3)
+
+    assert cosine_topk_matmul(sparse, q, "vec_id", "embedding", k=2).count() > 0
+    assert lsh_ann_topk(sparse, q, "vec_id", "embedding", k=1).count() >= 0
+    assert ivf_topk(sparse, q, "vec_id", "embedding", k=1,
+                    n_cells=4, nprobe=2).count() >= 0
+    assert near_dup_ann(sparse, "vec_id", "embedding",
+                        threshold=0.99).count() >= 0
+    pair = sparse.select(
+        F.col("embedding").alias("va"), F.col("embedding").alias("vb"))
+    cos = cosine_rowwise_udf()
+    n_one = pair.withColumn("c", cos(F.col("va"), F.col("vb"))) \
+        .where(F.col("c") > 0.999999).count()
+    assert n_one == 30
