@@ -136,8 +136,17 @@ APPEND = {
 def round_statements() -> list[str]:
     """The ordered statement list one committed round executes on a real
     cluster (after run_round registers the round_* temp views), all under
-    one `spark.wap.id` so the round publishes atomically."""
-    return [MERGE_SEEN, MERGE_FRONTIER, MERGE_HOSTS, *APPEND.values()]
+    one `spark.wap.id` so the round publishes atomically.
+
+    Order: frontier BEFORE seen. Under WAP staging the order is
+    invisible (nothing publishes until every statement is audited), but
+    if the statements ever run unstaged, a crash between the two must
+    err toward re-enqueueing (frontier has the discovery, seen doesn't —
+    the next round's anti-join re-admits and dedupe re-drops it:
+    at-least-once, self-healing) and never toward losing it (seen
+    remembers a URL the frontier never queued: permanently uncrawled).
+    State tables precede the append-only logs for the same reason."""
+    return [MERGE_FRONTIER, MERGE_SEEN, MERGE_HOSTS, *APPEND.values()]
 
 
 def all_statements() -> list[str]:

@@ -45,12 +45,14 @@ def test_ddl_buckets_match_bucketed_module(spark):
 
 
 def test_round_statement_order_publishes_consistently():
-    """seen must merge before frontier (a crash between them may only
-    over-remember, never re-enqueue a seen URL) and state tables before
-    append-only logs."""
+    """frontier must merge before seen: if the statements ever run
+    unstaged, a crash between them must err toward re-enqueueing (the
+    anti-join + dedupe self-heal a duplicate) and never toward a URL
+    that seen remembers but the frontier never queued (permanently
+    uncrawled). State tables precede append-only logs."""
     stmts = I.round_statements()
-    assert stmts.index(I.MERGE_SEEN) < stmts.index(I.MERGE_FRONTIER)
-    assert stmts.index(I.MERGE_FRONTIER) < stmts.index(I.APPEND["pages"])
+    assert stmts.index(I.MERGE_FRONTIER) < stmts.index(I.MERGE_SEEN)
+    assert stmts.index(I.MERGE_SEEN) < stmts.index(I.APPEND["pages"])
 
 
 def test_statements_reject_typo(spark):
