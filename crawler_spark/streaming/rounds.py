@@ -88,8 +88,13 @@ def stream_rounds(
     k_per_host: int,
     max_rounds: int,
     checkpoint_dir: str,
+    images: DataFrame | None = None,
 ):
-    """Rate-source ticker: each micro-batch = one scheduling round."""
+    """Rate-source ticker: each micro-batch = one scheduling round.
+
+    ``images``: optional image+caption payload table (images.py schema);
+    forwarded to the checkpointed round so streamed rounds carry the
+    binary payload columns exactly like batch rounds."""
     from ..frontier.store import run_crawl_checkpointed
 
     ticks = spark.readStream.format("rate").option("rowsPerSecond", 2).load()
@@ -97,7 +102,8 @@ def stream_rounds(
     def advance(batch_df: DataFrame, batch_id: int) -> None:
         last = store.latest_round() or 0
         if last < max_rounds:
-            run_crawl_checkpointed(store, web, robots, last + 1, k_per_host)
+            run_crawl_checkpointed(store, web, robots, last + 1, k_per_host,
+                                   images=images)
 
     return (
         ticks.writeStream.foreachBatch(advance)

@@ -167,3 +167,46 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     for k, v in got.items():
         assert want[k] == v  # every emitted session matches batch exactly
     assert len(got) >= len(want) * 0.8  # only the watermark tail held back
+
+
+def test_streamed_rounds_carry_image_payload(spark, tmp_path):
+    """stream_rounds with the image table: streamed rounds produce the
+    SAME committed state as batch rounds (fetch log byte-identical) and
+    the streamed pages carry a verifiable binary payload (PSNR >= 40 dB,
+    caption equality) — the multimodal path under streaming semantics."""
+    from crawler_spark.frontier import images as I
+    from crawler_spark.frontier.store import run_crawl_checkpointed
+    from crawler_spark.streaming.rounds import stream_rounds
+
+    web = synth.web_graph(spark, N_PAGES, N_HOSTS)
+    robots = synth.robots_dim(spark, N_HOSTS)
+    seeds = synth.seed_urls(spark, N_PAGES, 6, N_HOSTS)
+    imgs = I.images_table(spark, N_PAGES)
+
+    batch = RoundStore(spark, str(tmp_path / "batch"))
+    run_crawl_checkpointed(batch, web, robots, 2, 2, seeds=seeds,
+                           images=imgs)
+
+    streamed = RoundStore(spark, str(tmp_path / "stream"))
+    init_crawl(streamed, seeds, robots)
+    q = stream_rounds(spark, streamed, web, robots, 2, max_rounds=2,
+                      checkpoint_dir=str(tmp_path / "ckpt"), images=imgs)
+    deadline = time.time() + 120
+    while streamed.latest_round() < 2 and time.time() < deadline:
+        time.sleep(1)
+    q.stop()
+    assert streamed.latest_round() == 2
+
+    def log_rows(st):
+        return sorted(map(tuple, st.read_deltas("fetch_log").collect()))
+
+    assert log_rows(streamed) == log_rows(batch)
+
+    pages = streamed.read_deltas("pages").where(F.col("bytes").isNotNull())
+    n_payload = pages.count()
+    assert n_payload > 0
+    v = I.verify_payload(pages.select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    ).withColumn("image_id", F.col("image_id").cast("string")))
+    bad = v.where((F.col("psnr_db") < 40.0) | ~F.col("caption_ok")).count()
+    assert bad == 0
