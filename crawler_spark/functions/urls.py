@@ -110,3 +110,13 @@ def canonicalize_native(url: Column) -> Column:
 def url_hash64(url: Column) -> Column:
     """64-bit frontier key (C2): xxhash64 — native, codegen, seed 42."""
     return F.xxhash64(url)
+
+
+def property_id_from_url(url: Column) -> Column:
+    """The trailing numeric token of a property-page URL
+    (file_storage.py:244-251: ``re.search(r"/(\\d+)\\.html", url)``),
+    used by the reference to key the content-store directory layout.
+    Native regexp, codegen; NULL when absent (C15 null-on-fail — the
+    reference raises, which in a DataFrame pipeline is a poison row)."""
+    v = F.regexp_extract(url, r"/(\d+)\.html", 1)
+    return F.when(v == "", None).otherwise(v.cast("long"))

@@ -96,3 +96,24 @@ def test_url_hash64_is_native_and_stable(spark):
 def test_canonicalize_rejects_bad_ports():
     assert _canon_one(None, "https://example.com:99999/x") is None
     assert _canon_one(None, "https://example.com:8o8/x") is None
+
+
+def test_property_id_from_url(spark):
+    """file_storage.py:244 semantics: last numeric token before .html;
+    NULL (not an exception) when absent."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.urls import property_id_from_url
+
+    rows = spark.createDataFrame(
+        [("https://h3.synth.test/apa/d/item-42/42.html",),
+         ("https://h3.synth.test/apa/d/item-42/9001.html",),
+         ("https://h0.synth.test/search/apa?p=7",),
+         # unanchored like the reference: '.htmlx' still matches
+         # (re.search(r"/(\\d+)\\.html", ...) has no '$')
+         ("https://x.test/a/123.htmlx",)],
+        "url string",
+    )
+    got = [r["pid"] for r in rows.select(
+        property_id_from_url(F.col("url")).alias("pid")).collect()]
+    assert got == [42, 9001, None, 123]
