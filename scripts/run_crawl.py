@@ -44,6 +44,11 @@ def main() -> None:
                          "only the batch side")
     ap.add_argument("--buckets", type=int, default=64,
                     help="bucket count for --fetch-plan bucketed")
+    ap.add_argument("--seeds-file", default=None,
+                    help="seed list file/dir (text/csv/json/parquet, "
+                         "inferred from suffix) instead of synthetic "
+                         "seeds; URLs must exist in the synthetic web "
+                         "at this n-pages to resolve")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -61,7 +66,13 @@ def main() -> None:
 
     web = synth.web_graph(spark, args.n_pages, args.n_hosts)
     robots = synth.robots_dim(spark, args.n_hosts)
-    seeds = synth.seed_urls(spark, args.n_pages, args.n_seeds, args.n_hosts)
+    if args.seeds_file:
+        from crawler_spark.sources.seeds import read_seed_files
+
+        seeds = read_seed_files(spark, args.seeds_file)
+    else:
+        seeds = synth.seed_urls(spark, args.n_pages, args.n_seeds,
+                                args.n_hosts)
 
     store = RoundStore(spark, args.warehouse)
     resumed_from = store.latest_round()
