@@ -293,3 +293,38 @@ def test_parsed_robots_text_drives_the_engine(spark):
         for r in df.collect())
     a, b = rows(log_a), rows(log_b)
     assert a == b and len(a) > 0
+
+
+def test_decision_string_fuzz_matches_stdlib(spark):
+    """_stdlib_decision_string (the Spark column pipeline) must equal
+    RobotFileParser.can_fetch's normalization for a deterministic bank of
+    adversarial URLs — evaluated in ONE Spark job, mirrored per-row in
+    Python. Covers what the fixed battery can't enumerate: stacked
+    percent-escapes, mixed '+', stray '%', unicode, empty paths,
+    queries/fragments with metachars."""
+    import random
+
+    from crawler_spark.functions.robots import _stdlib_decision_string
+
+    rng = random.Random(20260817)
+    frag = ["/a", "/b c", "/%20", "/%2f", "/%zz", "/100%", "/+x", "/%2B",
+            "/~u", "/*", "/é", "/%C3%A9", "/;p", "/a?b", "/a#c", "/%3F",
+            "/%23", "//", "/.", "/..", "/%", "/%a", "/%Fg", "%252F"]
+    urls = []
+    for _ in range(400):
+        path = "".join(rng.choice(frag) for _ in range(rng.randint(0, 4)))
+        q = rng.choice(["", "?q=1", "?a b", "?%2f", "?+", "?%"])
+        urls.append(f"http://h.example{path}{q}")
+
+    def py_norm(u):
+        pr = urllib.parse.urlparse(urllib.parse.unquote(u))
+        s = urllib.parse.quote(urllib.parse.urlunparse(
+            ("", "", pr.path, pr.params, pr.query, pr.fragment)))
+        return s or "/"
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["d"] for r in df.select(
+        "url", _stdlib_decision_string(F.col("url")).alias("d")).collect()}
+    mismatches = [(u, got[u], py_norm(u)) for u in urls
+                  if got[u] != py_norm(u)]
+    assert not mismatches, mismatches[:5]
