@@ -98,8 +98,11 @@ def cosine_topk_matmul(
     # Local top-k margin: BLAS summation order differs from the oracle's
     # left fold by ~1 ulp, so candidates within float error of the k-th
     # score must survive the per-partition cut for the exact re-rank
-    # below to select the identical set.
-    kk = k + 4
+    # below to select the identical set.  The margin scales with k
+    # (max(k+4, 2k)): on near-degenerate corpora (e.g. the synthetic
+    # image features, all cos>=0.9998) more than 4 candidates can sit
+    # within float error of the k-th score in one partition.
+    kk = max(k + 4, 2 * k)
 
     def score(batches: "pd.DataFrame") -> "pd.DataFrame":
         cand_q, cand_n, cand_v = [], [], []
@@ -177,6 +180,111 @@ def lsh_bucket_udf(n_planes: int, dim: int, seed: int = 42):
     return bucket
 
 
+def _grouped_candidate_topk(
+    c: DataFrame, q: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Per-group (bucket/cell) candidate scoring: one BLAS matmul per
+    group, top ``kk = max(k+4, 2k)`` survivors per query.
+
+    The naive alternatives both lose: the interpreted fold scores every
+    candidate PAIR outside codegen (the 16x HOF trap), and a pair-level
+    Arrow UDF ships each vector to Python once PER PAIR (measured 0.83x
+    — serialization eats the BLAS win).  Cogrouping by (bucket, salt)
+    ships every vector across Arrow exactly ONCE per group, scores the
+    whole |Q_g| x |C_g| block with one matmul, and returns only
+    queries x kk survivor pairs — so the exchange after this stage and
+    the exact re-rank window both see survivors, not candidates.
+
+    Correctness of the prune: the true top-k pairs of a query are, within
+    the group that holds them, among that group's top-k up to
+    BLAS-vs-fold ulp reordering, which the kk margin absorbs (scaled
+    with k for near-degenerate corpora where >4 candidates tie within
+    float error).  Survivor scores are recomputed downstream with the
+    exact fold, so output is bit-stable vs the DuckDB oracle.
+
+    ``c``: (group_cols..., n_id long, n_vec); ``q``: (group_cols...,
+    q_id long, q_vec).  Salting is the caller's job: corpus rows carry
+    ``salt = hash(n_id) % S``, query rows are replicated across all S
+    salts, so one hot bucket splits into S independent groups (each
+    (q, n) pair lands in exactly one group — the one n's salt selects).
+    """
+    kk = max(k + 4, 2 * k)
+    vec_t = c.schema["n_vec"].dataType.simpleString()
+    out_schema = f"q_id long, q_vec {vec_t}, n_id long, n_vec {vec_t}"
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "q_id": pd.Series([], dtype="int64"),
+            "q_vec": pd.Series([], dtype="object"),
+            "n_id": pd.Series([], dtype="int64"),
+            "n_vec": pd.Series([], dtype="object"),
+        })
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:  # one-sided group: no candidates
+            return _empty()
+        C = np.stack(left["n_vec"].to_numpy()).astype(np.float64)
+        Q = np.stack(right["q_vec"].to_numpy()).astype(np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        S = Qn @ Cn.T                                  # (nq, nc)
+        nid = left["n_id"].to_numpy(dtype=np.int64)
+        qid = right["q_id"].to_numpy(dtype=np.int64)
+        qs, ns, qvs, nvs = [], [], [], []
+        for j in range(len(qid)):
+            cand = np.nonzero(nid != qid[j])[0]
+            if len(cand) == 0:
+                continue
+            order = np.lexsort((nid[cand], -S[j][cand]))[:kk]
+            sel = cand[order]
+            qs.append(np.full(len(sel), qid[j]))
+            ns.append(nid[sel])
+            qvs.extend([right["q_vec"].iloc[j]] * len(sel))
+            nvs.extend(left["n_vec"].iloc[i] for i in sel)
+        if not qs:
+            return _empty()
+        return pd.DataFrame({
+            "q_id": np.concatenate(qs),
+            "q_vec": pd.Series(qvs, dtype="object"),
+            "n_id": np.concatenate(ns),
+            "n_vec": pd.Series(nvs, dtype="object"),
+        })
+
+    return (
+        c.groupby(*group_cols)
+        .cogroup(q.groupby(*group_cols))
+        .applyInPandas(score, out_schema)
+    )
+
+
+def _salted(c: DataFrame, q: DataFrame, n_salts: int):
+    """Split each bucket's corpus side into ``n_salts`` sub-groups and
+    replicate queries across them — a hot bucket (the degenerate-corpus
+    failure mode, where LSH cannot prune by angle) becomes n_salts
+    independent tasks instead of one straggler."""
+    cs = c.withColumn(
+        "salt",
+        F.pmod(F.xxhash64(F.col("n_id").cast("string")),
+               F.lit(n_salts)).cast("int"),
+    )
+    qs = q.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return cs, qs
+
+
+def _exact_rerank(pairs: DataFrame, k: int) -> DataFrame:
+    """Final exact top-k over (pruned) candidate pairs, scored with the
+    SAME deterministic left fold the DuckDB oracle uses."""
+    scored = pairs.withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -186,11 +294,22 @@ def lsh_ann_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    prune: bool = True,
+    n_salts: int = 8,
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane LSH, exact cosine within
     the shared bucket only. One equi-join on the bucket id — the scale
     path when the query set is itself large (query x corpus would
-    otherwise be quadratic)."""
+    otherwise be quadratic).
+
+    Candidate scoring is two-phase (``prune=True``): a cogrouped
+    per-(bucket, salt) BLAS matmul cuts each query's candidates to
+    max(k+4, 2k) survivors (vectors cross Arrow once per group, never
+    per pair), and only survivors are scored with the exact fold.  The
+    in-bucket candidate set is |bucket|^2-shaped — on a near-degenerate
+    corpus the fold-per-pair form (``prune=False``, kept for A/B)
+    dominates the job (the 16x HOF trap, see operators/dedup.py).
+    """
     bucket = lsh_bucket_udf(n_planes, dim, seed)
     q = queries.select(
         F.col(id_col).alias("q_id"),
@@ -202,17 +321,16 @@ def lsh_ann_topk(
         F.col(vec_col).alias("n_vec"),
         bucket(F.col(vec_col)).alias("bucket"),
     )
-    scored = (
-        c.join(q, "bucket")
-        .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
-        .select("q_id", "n_id", "rank", F.round("cos", 4).alias("cos_sim"))
-    )
+    if prune:
+        cs, qs = _salted(c, q, n_salts=n_salts)
+        pairs = _grouped_candidate_topk(cs, qs, ["bucket", "salt"], k)
+    else:
+        pairs = (
+            c.join(q, "bucket")
+            .where(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "q_vec", "n_id", "n_vec")
+        )
+    return _exact_rerank(pairs, k)
 
 
 def lsh_bands_udf(n_tables: int, n_planes: int, dim: int, seed: int = 7):
@@ -408,16 +526,32 @@ def ivf_topk(
     k: int = 5,
     n_cells: int | None = None,
     nprobe: int = 4,
+    prune: bool = True,
+    n_salts: int = 1,
 ) -> DataFrame:
     """IVF ANN top-k: corpus indexed to its nearest cell (nprobe=1);
     queries probe their nprobe nearest cells; exact cosine re-ranking
     within probed cells only.
 
-    ``n_cells`` defaults to the sqrt(N) heuristic (one count job at build
-    time): cells scanned per query ~ nprobe*N/C and join-key cardinality
-    ~ C balance at C ~ sqrt(N) — a fixed small C would make the cell join
-    a C-key hotspot at scale (round-2 verdict note)."""
+    ``n_cells`` defaults to the sqrt(N) heuristic: cells scanned per
+    query ~ nprobe*N/C and join-key cardinality ~ C balance at
+    C ~ sqrt(N) — a fixed small C would make the cell join a C-key
+    hotspot at scale (round-2 verdict note).  The default path
+    localCheckpoints the corpus first: the count (and the centroid-build
+    jobs after it) would otherwise re-execute the corpus' upstream
+    generation chain once per job under AQE.  Hot paths pass ``n_cells``
+    explicitly and skip the materialization.
+
+    Candidate scoring is two-phase (``prune=True``, same shape as
+    ``lsh_ann_topk``): cogrouped per-(cell, salt) BLAS prune, exact fold
+    on the <= max(k+4, 2k) survivors per query.  A (q, n) pair can only
+    form through n's single assigned cell (and single salt), so pairs
+    are unique by construction; the post-prune dropDuplicates is a cheap
+    invariant guard on the small survivor set rather than a
+    full-candidate shuffle carrying both vectors.
+    """
     if n_cells is None:
+        corpus = corpus.localCheckpoint(eager=True)
         n_cells = max(4, int(corpus.count() ** 0.5))
     centroids = sample_centroids(corpus, id_col, vec_col, n_cells)
     c_assign = cell_assign_udf(centroids, nprobe=1)
@@ -431,15 +565,16 @@ def ivf_topk(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
         F.explode(q_assign(F.col(vec_col))).alias("cell"),
     )
-    scored = (
-        c.join(q, "cell")
-        .where(F.col("q_id") != F.col("n_id"))
-        .dropDuplicates(["q_id", "n_id"])
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "n_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
-        .select("q_id", "n_id", "rank", F.round("cos", 4).alias("cos_sim"))
-    )
+    if prune:
+        # n_salts defaults to 1: cell populations are ~N/C by
+        # construction (C ~ sqrt(N)), so groups are already bounded;
+        # raise it only for corpora whose cell histogram is skewed.
+        cs, qs = _salted(c, q, n_salts=n_salts)
+        pairs = _grouped_candidate_topk(cs, qs, ["cell", "salt"], k)
+    else:
+        pairs = (
+            c.join(q, "cell")
+            .where(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "q_vec", "n_id", "n_vec")
+        )
+    return _exact_rerank(pairs.dropDuplicates(["q_id", "n_id"]), k)

@@ -66,6 +66,41 @@ def test_ivf_deterministic(spark, emb):
     assert a == b
 
 
+def test_pruned_scoring_equals_fold_scoring(spark, emb):
+    """The r04 two-phase candidate scoring (einsum prune per Arrow batch
+    + exact fold on <= max(k+4,2k) survivors) must be row-identical to
+    the fold-per-pair form it replaces — including on a near-degenerate
+    augmentation (x2-scaled dups) where many candidates tie within float
+    error and the prune margin is what preserves the exact set."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.similarity import lsh_ann_topk, ivf_topk
+
+    base = emb.where(F.col("vec_id") < 200).select("vec_id", "embedding")
+    dups = base.where(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(2.0).cast("float")
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(dups).localCheckpoint()
+    q = aug.where(F.col("vec_id") >= 10000)
+
+    for k in (1, 5):
+        a = sorted(map(tuple, lsh_ann_topk(
+            aug, q, "vec_id", "embedding", k=k, prune=True).collect()))
+        b = sorted(map(tuple, lsh_ann_topk(
+            aug, q, "vec_id", "embedding", k=k, prune=False).collect()))
+        assert a == b and len(a) > 0, ("lsh", k, len(a))
+        a = sorted(map(tuple, ivf_topk(
+            aug, q, "vec_id", "embedding", k=k, n_cells=14, nprobe=4,
+            prune=True).collect()))
+        b = sorted(map(tuple, ivf_topk(
+            aug, q, "vec_id", "embedding", k=k, n_cells=14, nprobe=4,
+            prune=False).collect()))
+        assert a == b and len(a) > 0, ("ivf", k, len(a))
+
+
 def test_batch_udfs_survive_empty_partitions(spark):
     """Arrow batch UDFs must not np.stack an empty batch (ValueError):
     a filter that empties some partitions — routine at scale — exercises
