@@ -207,7 +207,31 @@ def _stdlib_decision_string(url):
     ``unquote`` is ``url_decode`` with two pre-escapes that restore
     Python's semantics: '+' stays literal (form-decoding would turn it
     into a space) and a '%' not followed by two hex digits passes through
-    unchanged (Java would raise)."""
+    unchanged (Java would raise).
+
+    Fast path (r04, the common case): when the URL contains none of
+    '%' '+' '?' '#' and its post-netloc rest uses only characters that
+    ``quote(safe='/')`` leaves alone ([A-Za-z0-9_.~/-]), the whole
+    unquote -> split -> reassemble -> requote chain is the identity on
+    the path — the decision string is just the raw path (or '/').  The
+    guard implies it exactly: no '%'/'+' makes the pre-escapes and
+    url_decode no-ops, no '?'/'#' makes query/fragment empty, and
+    all-safe path characters make _py_quote the identity.  CaseWhen
+    short-circuits per row in codegen, so plain URLs pay two regex
+    probes + one strip instead of the ~10-op normalization chain (the
+    r03 driver-bench regression: 0.42 -> 0.56 s)."""
+    scheme_netloc = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*"
+    plain = ~url.rlike(r"[%+?#]") & url.rlike(
+        scheme_netloc + r"[A-Za-z0-9_.~/\-]*$"
+    )
+    raw_path = F.regexp_replace(url, scheme_netloc, "")
+    fast = F.when(raw_path == "", "/").otherwise(raw_path)
+    return F.when(plain, fast).otherwise(_slow_decision_string(url))
+
+
+def _slow_decision_string(url):
+    """The full normalization chain (every URL the fast-path guard in
+    ``_stdlib_decision_string`` rejects)."""
     pre = F.regexp_replace(url, r"%(?![0-9A-Fa-f]{2})", "%25")
     pre = F.regexp_replace(pre, r"\+", "%2B")
     dec = F.url_decode(pre)
