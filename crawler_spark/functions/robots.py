@@ -217,9 +217,14 @@ def _stdlib_decision_string(url):
     guard implies it exactly: no '%'/'+' makes the pre-escapes and
     url_decode no-ops, no '?'/'#' makes query/fragment empty, and
     all-safe path characters make _py_quote the identity.  CaseWhen
-    short-circuits per row in codegen, so plain URLs pay two regex
-    probes + one strip instead of the ~10-op normalization chain (the
-    r03 driver-bench regression: 0.42 -> 0.56 s)."""
+    short-circuits per row, so plain URLs pay two regex probes + one
+    strip instead of the ~10-op normalization chain (the r03
+    driver-bench regression: 0.42 -> 0.56 s).  Measured caveat: an
+    expression evaluated inside a CaseWhen branch costs ~6x its
+    top-level form, so rows that DO fall through pay a premium — the
+    guarded form wins only when the guard passes for the large majority
+    of rows (all-plain 2M-URL corpus: 0.85 s vs 2.25 s unconditional;
+    break-even around 5-10 percent special rows)."""
     scheme_netloc = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*"
     plain = ~url.rlike(r"[%+?#]") & url.rlike(
         scheme_netloc + r"[A-Za-z0-9_.~/\-]*$"
