@@ -304,7 +304,14 @@ def pages_current(store: RoundStore, upto: int | None = None) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = store.read_deltas("pages", upto=upto)
-    w = W.partitionBy("url").orderBy(F.desc("round"))
+    # Tie-break beyond round: the scheduling batch is deduped per url, so
+    # a url appears at most once per round by construction — but if that
+    # invariant ever broke, round alone would pick a NONDETERMINISTIC
+    # winner (unlike the reference's sequential ON CONFLICT DO UPDATE,
+    # where the last write deterministically wins). (seq desc, page_id
+    # desc) reproduces last-write-wins inside a round deterministically.
+    w = W.partitionBy("url").orderBy(
+        F.desc("round"), F.desc("seq"), F.desc("page_id"))
     return (
         d.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

@@ -38,6 +38,13 @@ Semantics mirrored from the stdlib parser (verified 1:1 against
 
 At 10^10-URL scale the parse cost is O(hosts), the decision cost is one
 broadcast join — no per-URL Python anywhere.
+
+Interpreter-version assumption: the decision-string parity is verified
+1:1 against CPython >= 3.11's ``urllib`` (this sandbox: 3.11.7), whose
+``urlunsplit`` no longer doubles a leading-'//' path. Pre-3.11
+interpreters produce different RobotFileParser decision strings for
+path '//a' ('////a'), so the fuzz-parity guarantee is pinned to >= 3.11
+(enforced loudly by tests/test_robots.py, not discovered semantically).
 """
 
 from __future__ import annotations

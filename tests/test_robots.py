@@ -295,6 +295,23 @@ def test_parsed_robots_text_drives_the_engine(spark):
     assert a == b and len(a) > 0
 
 
+def test_decision_string_parity_requires_cpython_311():
+    """The fuzz-parity guarantee is pinned to CPython >= 3.11 (urlunsplit
+    no longer doubles a leading-'//' path there; older interpreters give
+    RobotFileParser different decision strings for path '//a'). A runtime
+    downgrade must fail HERE, loudly, not as a semantic robots drift."""
+    import sys
+
+    assert sys.version_info >= (3, 11), (
+        "functions/robots.py decision-string parity is verified against "
+        "CPython >= 3.11 urllib; this interpreter is "
+        f"{sys.version.split()[0]}"
+    )
+    # the concrete behavior the pin protects: patched urlunsplit keeps a
+    # leading-'//' path intact (pre-3.11: '////a')
+    assert urllib.parse.urlunparse(("", "", "//a", "", "", "")) == "//a"
+
+
 def test_decision_string_fuzz_matches_stdlib(spark):
     """_stdlib_decision_string (the Spark column pipeline) must equal
     RobotFileParser.can_fetch's normalization for a deterministic bank of
