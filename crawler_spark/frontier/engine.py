@@ -242,6 +242,12 @@ def run_round(
     # 5. link expansion -> enqueue
     links = ok.select(F.explode("outlinks").alias("url")).dropDuplicates(["url"])
     new_rows = enqueue(links, state.seen, robots, round_no, seen_bloom=seen_bloom)
+    if checkpoint_fetched:
+        # bounded (≤ batch * outdegree rows) and consumed by THREE state
+        # sinks (frontier', seen', seen_delta): materialize once so the
+        # store's (now concurrent) commit writes don't each re-run the
+        # enqueue anti-join against the full seen set.
+        new_rows = new_rows.localCheckpoint(eager=True)
 
     # 6. retry / DLQ routing (E5: eligible_round = r + 2^retry_count)
     failed_next = failed.select(

@@ -55,15 +55,25 @@ class RoundStore:
                extra: dict | None = None) -> None:
         """Write all tables, then the manifest — atomic visibility.
 
-        Writes run SEQUENTIALLY on purpose: the round's tables share
-        lineage (batch -> fetched -> links), and sequential jobs reuse the
-        earlier jobs' shuffle outputs (skipped stages), while concurrent
-        writes duplicate that work — measured 34% slower when threaded."""
-        written = {}
-        for name, df in tables.items():
+        Writes run CONCURRENTLY (one thread per table, bounded pool):
+        since r04 every expensive shared ancestor (batch, fetched,
+        new_rows) is localCheckpointed inside run_round, so each write
+        is a short independent job over materialized blocks and the
+        per-job fixed overhead dominates — measured 2x faster threaded
+        (0.65 s vs 1.4 s for a round's 6 tables at the 1M-page volume
+        probe). The round-2 measurement that threading was 34% SLOWER
+        predates those checkpoints: back then concurrent writes re-ran
+        the shared shuffle stages sequential jobs would have reused."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(item):
+            name, df = item
             path = self._dir(name, round_no)
             df.write.mode("overwrite").parquet(path)
-            written[name] = path
+            return name, path
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            written = dict(ex.map(_write, tables.items()))
         # merge with an existing manifest for this round (partial re-commits
         # like the streaming seed inbox must not unlist other tables)
         prior_tables, prior_extra = {}, {}
@@ -118,6 +128,10 @@ def init_crawl(store: RoundStore, seeds: DataFrame, robots: DataFrame) -> None:
     empty_seen = seeds.select("url").limit(0)
     first = enqueue(seeds.select("url").dropDuplicates(["url"]), empty_seen,
                     robots, disc_round=0)
+    # three committed tables derive from this (frontier/seen/seen_delta):
+    # materialize the (tiny) seed enqueue once instead of re-running the
+    # chain per write — and so the concurrent commit can't duplicate it.
+    first = first.localCheckpoint(eager=True)
     empty_log = spark.createDataFrame(
         [], "round int, priority int, host_id int, url string, seq int")
     store.commit(0, {
