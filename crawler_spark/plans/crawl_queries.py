@@ -27,12 +27,18 @@ N_SEEDS = 6
 def _oracle_sql(rounds: int = ROUNDS, k: int = K_PER_HOST,
                 n_hosts: int = N_HOSTS, n_seeds: int = N_SEEDS,
                 final_select: str | None = None,
-                cooldown: int = 1) -> str:
+                cooldown: int = 1,
+                budget_case: str | None = None) -> str:
     """Unrolled spec implementation in DuckDB SQL.
 
     ``cooldown`` > 1 adds the cross-round politeness gate (G1): a host
     fetched in round r is ineligible before r + cooldown, tracked through
     per-round ``hosts{r}`` CTEs exactly as the engine's host-state table.
+
+    ``budget_case``: SQL expression for the per-host round budget
+    (defaults to the spec robots dim's crawl_delay arithmetic,
+    max(1, k // delay) with delays {1,2,4}); goldens with a custom
+    robots dimension pass their own CASE.
     """
     prio = (
         "CASE WHEN is_listing THEN 1 + ascii(substr(md5(url),1,1)) % 2 "
@@ -82,7 +88,7 @@ seen0 AS MATERIALIZED (SELECT url FROM frontier0)"""]
             "\nhosts0 AS (SELECT CAST(NULL AS INT) AS host_id, 0 AS lf "
             "WHERE FALSE)")
 
-    budget = (
+    budget = budget_case or (
         f"CASE WHEN host_id % 11 = 5 THEN {max(1, k // 2)} "
         f"WHEN host_id % 11 = 9 THEN {max(1, k // 4)} ELSE {k} END"
     )
@@ -245,6 +251,48 @@ def crawl_5round_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         return log.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# Heterogeneous per-host crawl_delay (r03 verdict #8): the spec robots
+# dim's delays {1,2,4} at the golden k=2 collapse to budgets {2,1,1} —
+# delay 2 and 4 are indistinguishable. This golden drives the SAME
+# engine with a CUSTOM robots dimension carrying delays {1,2,5} at
+# k_per_host=5, so the three budget classes are pairwise distinct
+# (5, 2, 1) and the reference's per-host Crawl-delay arithmetic
+# (robots_checker.py:122-138 -> budget = max(1, k // delay)) is
+# value-checked per host class by the unrolled oracle.
+_DELAY125_BUDGET = (
+    "CASE WHEN host_id % 3 = 0 THEN 2 "       # delay 2 -> 5 // 2
+    "WHEN host_id % 3 = 1 THEN 1 "            # delay 5 -> 5 // 5
+    "ELSE 5 END"                              # delay 1 -> full budget
+)
+
+
+@register(
+    "crawl_delay_budget_golden",
+    oracle=_oracle_sql(rounds=3, k=5, budget_case=_DELAY125_BUDGET),
+)
+def crawl_delay_budget_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 rounds at k=5 with per-host crawl_delays {1,2,5} (pairwise
+    distinct budgets 5/2/1) — the per-host politeness budget arithmetic
+    under a heterogeneous delay profile, not the uniform-ish spec dim."""
+    from ..frontier import spec
+
+    n_pages = load_table(spark, sf_dir, "orders").count()
+    web = synth.web_graph(spark, n_pages, N_HOSTS)
+    h = F.col("id").cast("int")
+    robots = spark.range(0, N_HOSTS).select(
+        h.alias("host_id"),
+        F.when(h % spec.ROBOTS_MOD == spec.ROBOTS_REM,
+               spec.ROBOTS_DISALLOW).alias("disallow"),
+        F.when(h % 3 == 0, 2).when(h % 3 == 1, 5).otherwise(1)
+        .cast("int").alias("crawl_delay"),
+    ).where(F.col("disallow").isNotNull() | (F.col("crawl_delay") > 1))
+    seeds = synth.seed_urls(spark, n_pages, N_SEEDS, N_HOSTS)
+    state = run_crawl(spark, web, seeds, robots, rounds=3, k_per_host=5)
+    return fetch_log_df(state).select(
+        "round", "priority", "host_id", "url", "seq"
+    )
 
 
 # The headers MapType surface (SURVEY §1.2: Postgres JSONB headers,

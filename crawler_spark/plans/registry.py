@@ -54,8 +54,15 @@ ORACLES: dict[str, str] = {}
 #   image_near_dup_pipeline  — composed decode->feature->ANN chain; each
 #                              stage driver-proven by image_payload_verify
 #                              + embedding_near_dup_ann
+#   fifo_sequence            — E3/G3 FIFO sequencing is value-proven by
+#                              every crawl golden's seq column (per-host
+#                              row_number over the frozen order key,
+#                              checked round-by-round); demoted r04 to
+#                              make window room for the heterogeneous
+#                              crawl_delay golden (r03 verdict #8)
 DRIVER_WINDOW = 50
 DRIVER_DEMOTED = [
+    "fifo_sequence",
     "tpch_q1",
     "simhash16",
     "politeness_lag",

@@ -72,6 +72,7 @@ def test_demoted_coverage_subsumed_by_in_window_sibling():
     """Each demoted query's operator coverage has a named in-window
     sibling (the reason demotion is safe)."""
     sibling = {
+        "fifo_sequence": "crawl_delay_budget_golden",
         "tpch_q1": "success_rate",
         "simhash16": "simhash_bucket_pairs",
         "politeness_lag": "crawl_5round_golden",
