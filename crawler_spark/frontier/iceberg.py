@@ -3,7 +3,13 @@
 No Iceberg runtime jar ships in this sandbox (SURVEY.md §7 step 0), so
 the engine runs on the parquet round-snapshot stand-in
 (`store.py::RoundStore` — manifest-last atomic visibility, time travel,
-resume). This module pins the seam's OTHER side: the exact DDL and
+resume). Jar-fetch attempts, once per round per the r02/r03 verdicts:
+r04 (2026-08-17): `curl https://repo1.maven.org/maven2/org/apache/
+iceberg/iceberg-spark-runtime-...` returns HTTP 000 (no outbound
+network in the sandbox; `spark.jars.packages` would fail the same way
+at the ivy resolve step). The runtime execution of this module's
+MERGE/WAP statements therefore remains cluster-only; everything below
+is parse-validated in-sandbox. This module pins the seam's OTHER side: the exact DDL and
 per-round SQL a cluster deployment executes against Iceberg tables, one
 statement per store operation, so swapping the stand-in for Iceberg is a
 config change, not a design task. Every statement is parse-validated

@@ -56,6 +56,28 @@ def _pixels(image_id: int, w: int, h: int) -> np.ndarray:
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
+# -- real-codec adapter (r03 verdict #3) -----------------------------------
+# Pillow plugs in behind the same _encode/_decode seam when importable;
+# this sandbox ships no image library, so the deterministic stand-in
+# formats stay the default and the adapter is exercised only where PIL
+# exists (tests parametrize over whichever codec set is available —
+# tests/test_images.py::test_codec_roundtrip_paths).
+
+try:  # deliberate import-try: never a hard dependency
+    from PIL import Image as _PILImage  # type: ignore
+except Exception:  # pragma: no cover - sandbox has no Pillow
+    _PILImage = None
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SIG = b"\xff\xd8"
+
+
+def available_codecs() -> list[str]:
+    """Formats `_encode`/`_decode` can round-trip in this environment."""
+    base = ["rgb8", "qrgb6"]
+    return base + (["png", "jpeg"] if _PILImage is not None else [])
+
+
 def _encode(px: np.ndarray, fmt: str) -> bytes:
     h, w, _ = px.shape
     if fmt == "rgb8":
@@ -63,10 +85,28 @@ def _encode(px: np.ndarray, fmt: str) -> bytes:
     if fmt == "qrgb6":  # lossy: quantize to 6 bits/channel
         q = (px >> 2).astype(np.uint8)
         return HEADER.pack(MAGIC_Q6, w, h, 0) + q.tobytes()
+    if fmt in ("png", "jpeg") and _PILImage is not None:
+        import io
+
+        bio = io.BytesIO()
+        # quality=95 keeps the smooth synthetic gradients above the
+        # 40 dB PSNR invariant; PNG is lossless (PSNR = inf).
+        _PILImage.fromarray(px, mode="RGB").save(
+            bio, format=fmt.upper(),
+            **({"quality": 95} if fmt == "jpeg" else {}))
+        return bio.getvalue()
     raise NotImplementedError(f"codec {fmt!r} needs an image library")
 
 
 def _decode(buf: bytes) -> np.ndarray:
+    if buf[:8] == _PNG_SIG or buf[:2] == _JPEG_SIG:
+        if _PILImage is None:
+            raise NotImplementedError(
+                "PNG/JPEG payload but no image library in this environment")
+        import io
+
+        return np.asarray(
+            _PILImage.open(io.BytesIO(buf)).convert("RGB"), dtype=np.uint8)
     magic, w, h, _ = HEADER.unpack_from(buf)
     body = np.frombuffer(buf, np.uint8, offset=HEADER.size).reshape(h, w, 3)
     if magic == MAGIC_RAW:

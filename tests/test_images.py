@@ -27,6 +27,41 @@ def test_schema_matches_input_hint(imgs):
     assert imgs.count() == N
 
 
+@pytest.mark.parametrize("fmt", I.available_codecs())
+def test_codec_roundtrip_paths(fmt):
+    """Every codec available in THIS environment round-trips through the
+    same _encode/_decode seam (r03 verdict #3): the stand-in formats are
+    always present and byte-deterministic; when Pillow exists the
+    adapter adds png (lossless => PSNR inf) and jpeg (quality 95 =>
+    PSNR >= 40 dB on the smooth synthetic gradients). In the jar-less
+    sandbox only the stand-ins parametrize — the real-codec rows light
+    up wherever PIL is installed, with no code change."""
+    px = I._pixels(4217, 48, 40)
+    dec = I._decode(I._encode(px, fmt))
+    assert dec.shape == px.shape and dec.dtype == np.uint8
+    p = I.psnr(px, dec)
+    if fmt in ("rgb8", "png"):
+        assert p == float("inf")  # lossless
+    else:
+        assert p >= 40.0, (fmt, p)
+    # stand-in encodes stay byte-identical run to run (resume contract)
+    if fmt in ("rgb8", "qrgb6"):
+        assert I._encode(px, fmt) == I._encode(px, fmt)
+
+
+def test_unavailable_codec_raises_loudly():
+    px = I._pixels(1, 8, 8)
+    if "png" not in I.available_codecs():
+        with pytest.raises(NotImplementedError):
+            I._encode(px, "png")
+        # a PNG-signature payload without a decoder must raise, not
+        # silently mis-parse as a stand-in header
+        with pytest.raises(NotImplementedError):
+            I._decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError):
+        I._encode(px, "webp")
+
+
 def test_psnr_and_caption_invariant(imgs):
     v = I.verify_payload(imgs).localCheckpoint()
     assert v.count() == N
