@@ -19,6 +19,7 @@ from crawler_spark.plans import (
 # "untested (driver)" components A8/A9, H1/H2/H3, C9/C10, A15-parse,
 # A6-headers, D1/G1-deep, E1-geo) plus the scale-form cosine anchor.
 WINDOW_CRITICAL = [
+    "crawl_delay_budget_golden",  # G1 heterogeneous crawl_delay budgets
     "crawl_5round_golden",        # D1 bloom + G1 cooldown deep oracle
     "crawl_pages_headers",        # A6/A12 headers map
     "image_payload_verify",       # A8/A9 binary cols + codec
@@ -58,6 +59,35 @@ def test_demoted_fit_in_tail():
     assert len(QUERIES) - len(DRIVER_DEMOTED) <= DRIVER_WINDOW, (
         "registry grew: demote or retire a subsumed query to keep every "
         "operator-covering query inside the driver's 50-entry window")
+
+
+# Queries first registered in the CURRENT round cannot yet have a row in
+# the previous round's driver output — list them here when adding them,
+# and empty the set at the next round rollover.
+NEW_THIS_ROUND = {"crawl_delay_budget_golden"}
+
+
+def test_latest_correctness_output_covers_window_critical():
+    """ADVICE r03 #3: the driver-window contract (first 50 entries) is
+    observed, not owned — so verify it from the driver's OUTPUT, not
+    from assumption: the most recent CORRECTNESS_r*.json must contain a
+    row for every WINDOW_CRITICAL query. If the driver ever resizes or
+    resamples its window, this fails on the next round's file instead
+    of silently starving operator-critical checks."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert files, "no driver correctness output found"
+    with open(files[-1]) as f:
+        rows = json.load(f)
+    missing = [n for n in WINDOW_CRITICAL
+               if n not in rows and n not in NEW_THIS_ROUND]
+    assert not missing, (
+        f"{os.path.basename(files[-1])} lacks rows for window-critical "
+        f"queries {missing} — driver window contract changed?")
 
 
 def test_entry_module_uses_ordered_registry():
