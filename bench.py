@@ -41,6 +41,8 @@ HEADLINE = [
     "token_counts",
     "image_payload_verify",
     "image_near_dup_pipeline",
+    "video_frame_sample",
+    "audio_energy_windows",
 ]
 
 

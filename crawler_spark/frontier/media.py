@@ -1,0 +1,302 @@
+"""Video + audio payload tables (the non-image legs of the multimodal
+column contract: opaque binary payloads + typed metadata, with decode /
+frame-sample / feature-extract as Arrow-batched ``mapInPandas`` stages).
+
+Reference parity note: the reference stores every fetched asset as raw
+sha256-named bytes regardless of media type (file_storage.py:279-293) —
+it has no media decode at all; these operators are the forward-looking
+training-pipeline surface the task brief names (frame-sample for video,
+feature-extract for audio) built on the same binary-column model as
+``images.py``.
+
+No AV library (ffmpeg/PyAV/soundfile) ships in this container, so the
+container formats are deterministic stand-ins with REAL Spark plumbing —
+schema, partitioning, Arrow batch shape, empty-batch guards — exactly
+like the image codec note in ``images.py``.  Real demuxers plug in behind
+``_decode_video`` / ``_decode_audio`` the same way Pillow plugs in behind
+``images._decode``.
+
+* video fmt='vraw8': 16-byte header (magic VID8, w:u16, h:u16,
+  n_frames:u16, fps:u16, reserved:i32) + ``n_frames`` raw RGB24 frames.
+  Frame ``j`` of video ``v`` has the pixel field of
+  ``images._pixels(v * FRAME_STRIDE + j)`` — every frame is distinct yet
+  bit-reproducible on any executor, and because the pixel field is
+  linear in the seed mod 256, ``phash(frame) = phash_table[(v *
+  FRAME_STRIDE + j) % 256]`` — the same period-256 property the image
+  phash oracle exploits, so frame-sampling is fully value-oracle-able.
+* audio fmt='pcm16': 16-byte header (magic PCMS, sample_rate:u32,
+  n_samples:u32, reserved:i32) + little-endian int16 samples.  Sample
+  ``t`` of clip ``a`` is ``((a*2654435761 + t*40503) % 65536) - 32768``
+  — pure int64 arithmetic both numpy and ANSI SQL reproduce exactly, so
+  windowed energy/peak features are hash-stable against a DuckDB oracle
+  (no float trig, no ulp drift).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .images import HEADER as _IMG_HEADER
+from .images import MAGIC_RAW as IMG_MAGIC_RAW
+from .images import _phash_batch, _pixels_batch
+
+# sample_frames re-encodes kept frames as images.py payloads; the literal
+# format is used in the closure because struct.Struct doesn't pickle
+IMG_HEADER_FMT = "<4sHHi"
+assert struct.Struct(IMG_HEADER_FMT).format == _IMG_HEADER.format
+
+VIDEO_HEADER = struct.Struct("<4sHHHHi")  # magic, w, h, n_frames, fps, rsvd
+AUDIO_HEADER = struct.Struct("<4sIIi")    # magic, sample_rate, n_samples, rsvd
+MAGIC_VIDEO = b"VID8"
+MAGIC_AUDIO = b"PCMS"
+
+# frame seed stride: prime > any sane n_frames, so (video_id, frame_idx)
+# -> seed is injective per video and seeds never collide across frames
+FRAME_STRIDE = 1009
+
+# Knuth multiplicative-hash constants for the PCM stand-in waveform
+_PCM_A = 2654435761
+_PCM_T = 40503
+
+VIDEOS_SCHEMA = (
+    "video_id string, bytes binary, w int, h int, n_frames int, fps int, "
+    "fmt string, duration_ms bigint"
+)
+AUDIO_SCHEMA = (
+    "audio_id string, bytes binary, sample_rate int, n_samples int, "
+    "fmt string, duration_ms bigint"
+)
+
+
+def _decode_video(buf: bytes) -> tuple[np.ndarray, int]:
+    """(n_frames, h, w, 3) uint8 frames + fps.  Real demuxers (PyAV etc.)
+    plug in here on payloads whose signature isn't the stand-in magic."""
+    magic, w, h, n_frames, fps, _ = VIDEO_HEADER.unpack_from(buf)
+    if magic != MAGIC_VIDEO:
+        raise NotImplementedError(
+            "non-stand-in video container; a real demuxer (ffmpeg/PyAV) "
+            "is required and none ships in this environment")
+    body = np.frombuffer(buf, np.uint8, offset=VIDEO_HEADER.size)
+    return body.reshape(n_frames, h, w, 3), fps
+
+
+def _decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    """(n_samples,) int16 PCM + sample_rate."""
+    magic, sample_rate, n_samples, _ = AUDIO_HEADER.unpack_from(buf)
+    if magic != MAGIC_AUDIO:
+        raise NotImplementedError(
+            "non-stand-in audio container; a real decoder (soundfile/"
+            "ffmpeg) is required and none ships in this environment")
+    pcm = np.frombuffer(buf, np.dtype("<i2"), count=n_samples,
+                        offset=AUDIO_HEADER.size)
+    return pcm, sample_rate
+
+
+def _pcm_batch(ids: np.ndarray, n_samples: int) -> np.ndarray:
+    """(B, n_samples) int16 — the stand-in waveform, one int64 pass."""
+    a = ids.astype(np.int64).reshape(-1, 1)
+    t = np.arange(n_samples, dtype=np.int64)
+    return (((a * _PCM_A + t * _PCM_T) % 65536) - 32768).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# table builders
+# ---------------------------------------------------------------------------
+
+def videos_table(
+    spark: SparkSession,
+    n_videos: int,
+    w: int = 32,
+    h: int = 32,
+    n_frames: int = 12,
+    fps: int = 24,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Video payload table; generation is mapInPandas over spark.range —
+    executor-parallel, never on the driver (same shape as images_table)."""
+    hdr = VIDEO_HEADER.pack(MAGIC_VIDEO, w, h, n_frames, fps, 0)
+    duration_ms = (n_frames * 1000) // fps
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            # (B * n_frames) seeds -> one pixel pass for the whole batch
+            seeds = (ids.reshape(-1, 1) * FRAME_STRIDE
+                     + np.arange(n_frames, dtype=np.int64)).ravel()
+            px = _pixels_batch(seeds, w, h).reshape(len(ids), -1)
+            yield pd.DataFrame({
+                "video_id": [str(int(i)) for i in ids],
+                "bytes": [hdr + row.tobytes() for row in px],
+                "w": np.full(len(ids), w, dtype=np.int32),
+                "h": np.full(len(ids), h, dtype=np.int32),
+                "n_frames": np.full(len(ids), n_frames, dtype=np.int32),
+                "fps": np.full(len(ids), fps, dtype=np.int32),
+                "fmt": "vraw8",
+                "duration_ms": np.full(len(ids), duration_ms,
+                                       dtype=np.int64),
+            })
+
+    rng = spark.range(
+        0, n_videos,
+        numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, VIDEOS_SCHEMA)
+
+
+def audio_table(
+    spark: SparkSession,
+    n_clips: int,
+    sample_rate: int = 8000,
+    n_samples: int = 2000,
+    partitions: int | None = None,
+) -> DataFrame:
+    """PCM16 audio payload table (binary column + typed metadata)."""
+    hdr = AUDIO_HEADER.pack(MAGIC_AUDIO, sample_rate, n_samples, 0)
+    duration_ms = (n_samples * 1000) // sample_rate
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            pcm = _pcm_batch(ids, n_samples)
+            yield pd.DataFrame({
+                "audio_id": [str(int(i)) for i in ids],
+                "bytes": [hdr + row.tobytes() for row in pcm],
+                "sample_rate": np.full(len(ids), sample_rate,
+                                       dtype=np.int32),
+                "n_samples": np.full(len(ids), n_samples, dtype=np.int32),
+                "fmt": "pcm16",
+                "duration_ms": np.full(len(ids), duration_ms,
+                                       dtype=np.int64),
+            })
+
+    rng = spark.range(
+        0, n_clips,
+        numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def sample_frames(videos: DataFrame, k: int) -> DataFrame:
+    """Uniform-k frame sampling: decode the container, keep frames at
+    ``floor(j * n_frames / k)`` for j in 0..k-1 (the standard uniform
+    temporal sample; indices dedupe when n_frames < k), re-encode each
+    kept frame as a standalone lossless image payload and phash it.
+
+    The output rows are valid ``images.py`` payloads (rgb8 header +
+    RGB24), so sampled frames flow straight into the EXISTING image
+    operators — ``phash_near_dupes``, ``image_features`` -> ANN — with no
+    adapter: video near-dup at scale is frame-sample + the image path.
+
+    One Arrow pass per batch; per-row work is only the two container
+    (de)serializations, which is the codec boundary by nature.  For the
+    raw stand-in container the "decode" is a zero-copy numpy view of the
+    payload buffer — only the k KEPT frames are ever copied, so the
+    operator reads O(payload) and writes O(k·frame), shuffle-free; a
+    real inter-frame codec (H.264 etc.) would decode sequentially inside
+    the same per-row boundary.
+    """
+
+    # struct.Struct doesn't pickle (images.py note) — the closure uses
+    # struct.pack with the literal image-header format instead
+    img_hdr_fmt, img_magic = IMG_HEADER_FMT, IMG_MAGIC_RAW
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {
+                "video_id": [], "frame_idx": [], "ts_ms": [], "bytes": [],
+                "w": [], "h": [], "phash": [],
+            }
+            for row in pdf.itertuples(index=False):
+                frames, fps = _decode_video(bytes(row.bytes))
+                n_frames, h_, w_, _ = frames.shape
+                idx = np.unique((np.arange(k, dtype=np.int64) * n_frames)
+                                // k)
+                kept = frames[idx]
+                ph = _phash_batch(kept)
+                img_hdr = struct.pack(img_hdr_fmt, img_magic, w_, h_, 0)
+                for j, fi in enumerate(idx):
+                    out["video_id"].append(row.video_id)
+                    out["frame_idx"].append(int(fi))
+                    out["ts_ms"].append(int(fi) * 1000 // fps)
+                    out["bytes"].append(img_hdr + kept[j].tobytes())
+                    out["w"].append(w_)
+                    out["h"].append(h_)
+                    out["phash"].append(int(ph[j]))
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(
+        sample,
+        "video_id string, frame_idx int, ts_ms bigint, bytes binary, "
+        "w int, h int, phash long",
+    )
+
+
+def audio_energy_windows(audio: DataFrame, window_ms: int = 50) -> DataFrame:
+    """Feature-extract: decode PCM and emit per-window energy (sum of
+    squared samples, exact int64), peak (max |sample|) and sample count —
+    the canonical cheap audio feature (VAD / silence trim / loudness
+    bucketing run on exactly these).
+
+    Windows are fixed-size sample blocks of ``window_ms``; a trailing
+    partial window is emitted with its true (smaller) count.  All
+    arithmetic is integer, so results are bit-stable against a SQL
+    oracle.  Whole-batch vectorized: samples for B clips form one
+    (B, n) int64 array; the window reduction is one reshape+sum.
+    """
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frames = []
+            # group by (sample_rate, n_samples) so same-shape clips
+            # reduce in one vectorized pass (mixed corpora still batch)
+            for (sr, ns), grp in pdf.groupby(
+                    ["sample_rate", "n_samples"], sort=False):
+                sr, ns = int(sr), int(ns)
+                win = max(1, (sr * window_ms) // 1000)
+                pcm = np.stack([
+                    _decode_audio(bytes(b))[0] for b in grp["bytes"]
+                ]).astype(np.int64)
+                n_win = -(-ns // win)  # ceil
+                pad = n_win * win - ns
+                if pad:
+                    pcm = np.pad(pcm, ((0, 0), (0, pad)))
+                blocks = pcm.reshape(len(grp), n_win, win)
+                energy = (blocks * blocks).sum(axis=2)
+                peak = np.abs(blocks).max(axis=2)
+                counts = np.full(n_win, win, dtype=np.int64)
+                if pad:
+                    counts[-1] = ns - (n_win - 1) * win
+                aid = np.repeat(grp["audio_id"].to_numpy(), n_win)
+                widx = np.tile(np.arange(n_win, dtype=np.int32), len(grp))
+                frames.append(pd.DataFrame({
+                    "audio_id": aid,
+                    "win_idx": widx,
+                    "start_ms": (widx.astype(np.int64) * win * 1000) // sr,
+                    "energy": energy.ravel(),
+                    "peak": peak.ravel().astype(np.int32),
+                    "n": np.tile(counts, len(grp)),
+                }))
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=["audio_id", "win_idx", "start_ms", "energy",
+                         "peak", "n"])
+
+    return audio.mapInPandas(
+        feat,
+        "audio_id string, win_idx int, start_ms bigint, energy bigint, "
+        "peak int, n bigint",
+    )

@@ -60,9 +60,21 @@ ORACLES: dict[str, str] = {}
 #                              checked round-by-round); demoted r04 to
 #                              make window room for the heterogeneous
 #                              crawl_delay golden (r03 verdict #8)
+#   exact_dup_stats          — D3 exact dedup is value-proven inside
+#                              corpus_clean's single chained oracle (the
+#                              exact-dup stage feeds the minhash stage
+#                              there); demoted r04 for video_frame_sample
+#   semi_join_seen           — D5/D6 existence-check machinery is the
+#                              complement predicate of anti_join_unseen
+#                              on the same key/exchange plan (and every
+#                              crawl golden exercises the anti side
+#                              against a durable seen set); demoted r04
+#                              for audio_energy_windows
 DRIVER_WINDOW = 50
 DRIVER_DEMOTED = [
     "fifo_sequence",
+    "exact_dup_stats",
+    "semi_join_seen",
     "tpch_q1",
     "simhash16",
     "politeness_lag",

@@ -32,6 +32,8 @@ WINDOW_CRITICAL = [
     "priority_assign_geo",        # E1 geo-fixture form
     "embedding_cosine_topk_matmul",  # exact-cosine scale anchor
     "crawl_pages_with_captions",  # north-rule image+caption table
+    "video_frame_sample",         # multimodal video frame-sample (r04)
+    "audio_energy_windows",       # multimodal audio feature-extract (r04)
 ]
 
 
@@ -64,7 +66,8 @@ def test_demoted_fit_in_tail():
 # Queries first registered in the CURRENT round cannot yet have a row in
 # the previous round's driver output — list them here when adding them,
 # and empty the set at the next round rollover.
-NEW_THIS_ROUND = {"crawl_delay_budget_golden"}
+NEW_THIS_ROUND = {"crawl_delay_budget_golden", "video_frame_sample",
+                  "audio_energy_windows"}
 
 
 def test_latest_correctness_output_covers_window_critical():
@@ -103,6 +106,8 @@ def test_demoted_coverage_subsumed_by_in_window_sibling():
     sibling (the reason demotion is safe)."""
     sibling = {
         "fifo_sequence": "crawl_delay_budget_golden",
+        "exact_dup_stats": "corpus_clean",
+        "semi_join_seen": "anti_join_unseen",
         "tpch_q1": "success_rate",
         "simhash16": "simhash_bucket_pairs",
         "politeness_lag": "crawl_5round_golden",
