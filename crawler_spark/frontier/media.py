@@ -215,27 +215,36 @@ def sample_frames(videos: DataFrame, k: int) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            out: dict[str, list] = {
-                "video_id": [], "frame_idx": [], "ts_ms": [], "bytes": [],
-                "w": [], "h": [], "phash": [],
-            }
-            for row in pdf.itertuples(index=False):
-                frames, fps = _decode_video(bytes(row.bytes))
-                n_frames, h_, w_, _ = frames.shape
-                idx = np.unique((np.arange(k, dtype=np.int64) * n_frames)
-                                // k)
-                kept = frames[idx]
-                ph = _phash_batch(kept)
+            frames_out = []
+            # group by shape so same-shape videos (the normal case after
+            # ingest bucketing) vectorize ACROSS rows: per-row work is
+            # one zero-copy view + one k-frame gather; phash and the
+            # output columns are one whole-group pass
+            for (nf, fps, w_, h_), grp in pdf.groupby(
+                    ["n_frames", "fps", "w", "h"], sort=False):
+                nf, fps, w_, h_ = int(nf), int(fps), int(w_), int(h_)
+                idx = np.unique((np.arange(k, dtype=np.int64) * nf) // k)
+                kk = len(idx)
+                decoded = [_decode_video(b) for b in grp["bytes"]]
+                # shape drift fails loudly in np.stack; fps is the only
+                # silently-wrong metadata/container mismatch — guard it
+                if any(cfps != fps for _, cfps in decoded):
+                    raise ValueError("container fps != metadata fps")
+                kept = np.stack([fr[idx] for fr, _ in decoded])
+                flat = kept.reshape(len(grp) * kk, h_, w_, 3)
+                ph = _phash_batch(flat)
                 img_hdr = struct.pack(img_hdr_fmt, img_magic, w_, h_, 0)
-                for j, fi in enumerate(idx):
-                    out["video_id"].append(row.video_id)
-                    out["frame_idx"].append(int(fi))
-                    out["ts_ms"].append(int(fi) * 1000 // fps)
-                    out["bytes"].append(img_hdr + kept[j].tobytes())
-                    out["w"].append(w_)
-                    out["h"].append(h_)
-                    out["phash"].append(int(ph[j]))
-            yield pd.DataFrame(out)
+                ts = (idx * 1000) // fps
+                frames_out.append(pd.DataFrame({
+                    "video_id": np.repeat(grp["video_id"].to_numpy(), kk),
+                    "frame_idx": np.tile(idx, len(grp)).astype(np.int32),
+                    "ts_ms": np.tile(ts, len(grp)),
+                    "bytes": [img_hdr + f.tobytes() for f in flat],
+                    "w": np.int32(w_),
+                    "h": np.int32(h_),
+                    "phash": ph,
+                }))
+            yield pd.concat(frames_out)
 
     return videos.mapInPandas(
         sample,
