@@ -309,3 +309,42 @@ def audio_energy_windows(audio: DataFrame, window_ms: int = 50) -> DataFrame:
         "audio_id string, win_idx int, start_ms bigint, energy bigint, "
         "peak int, n bigint",
     )
+
+
+def video_near_dupes(
+    videos: DataFrame,
+    k: int = 4,
+    max_hamming: int = 0,
+    min_matching_frames: int = 2,
+) -> DataFrame:
+    """Video-level near-dup pairs: uniform-k frame sample -> the UNCHANGED
+    image phash band-join (`images.phash_near_dupes`) on the sampled
+    frames -> roll frame matches up to video pairs that share at least
+    ``min_matching_frames`` near-identical frames.
+
+    This is the standard scalable video-dedup shape (content-ID systems
+    match sampled keyframes, not full streams): per-video cost is k frame
+    hashes, the candidate join is the banded phash equi-join — never
+    all-pairs over videos — and the rollup is one (video_a, video_b)
+    count aggregate.  Returns (video_a, video_b, n_frame_matches).
+    """
+    from pyspark.sql import functions as F
+
+    from .images import phash_near_dupes
+
+    frames = sample_frames(videos, k).select(
+        F.concat_ws("#", "video_id", "frame_idx").alias("image_id"),
+        "phash",
+    )
+    pairs = phash_near_dupes(frames, max_hamming=max_hamming)
+    va = F.split("id_a", "#")[0].cast("long")
+    vb = F.split("id_b", "#")[0].cast("long")
+    return (
+        pairs
+        .select(F.least(va, vb).alias("video_a"),
+                F.greatest(va, vb).alias("video_b"))
+        .where(F.col("video_a") != F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(F.count("*").alias("n_frame_matches"))
+        .where(F.col("n_frame_matches") >= min_matching_frames)
+    )

@@ -110,3 +110,43 @@ def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("audio_id").cast("long").alias("audio_id"),
         "win_idx", "start_ms", "energy", "peak", "n",
     )
+
+
+@register(
+    "video_near_dup",
+    oracle=f"""
+    WITH ph(pid, ph) AS (VALUES {{values}}),
+    nn AS (SELECT LEAST(COUNT(*), {_V_CAP}) AS n FROM documents),
+    vids AS (
+      SELECT r.range AS vid FROM range(0, {_V_CAP}) r
+      WHERE r.range < (SELECT n FROM nn)
+    ),
+    frames AS (
+      SELECT vid, (j.range * {_V_FRAMES}) // {_V_K} AS fi
+      FROM vids, range(0, {_V_K}) j
+    ),
+    fph AS (
+      SELECT vid, fi, p.ph
+      FROM frames f JOIN ph p ON (f.vid * 1009 + f.fi) % 256 = p.pid
+    ),
+    m AS (
+      SELECT a.vid AS va, b.vid AS vb, COUNT(*) AS nm
+      FROM fph a JOIN fph b ON a.ph = b.ph AND a.vid < b.vid
+      GROUP BY a.vid, b.vid
+    )
+    SELECT CAST(va AS BIGINT) AS video_a, CAST(vb AS BIGINT) AS video_b,
+           CAST(nm AS BIGINT) AS n_frame_matches
+    FROM m WHERE nm >= 2
+    """.format(values=_phash_values_sql()),
+)
+def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed video-dedup chain (sample -> banded phash join -> video
+    rollup) vs a brute-force equal-phash oracle over the period-256
+    vocabulary.  Demoted tail query: each stage is driver-proven by
+    video_frame_sample + image_phash_near_dup."""
+    from ..frontier import media as M
+
+    n = min(load_table(spark, sf_dir, "documents").count(), _V_CAP)
+    vids = M.videos_table(spark, n, n_frames=_V_FRAMES, fps=_V_FPS)
+    return M.video_near_dupes(vids, k=_V_K, max_hamming=0,
+                              min_matching_frames=2)

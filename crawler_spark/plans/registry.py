@@ -64,6 +64,9 @@ ORACLES: dict[str, str] = {}
 #                              corpus_clean's single chained oracle (the
 #                              exact-dup stage feeds the minhash stage
 #                              there); demoted r04 for video_frame_sample
+#   video_near_dup           — composed sample->phash-band->rollup chain;
+#                              each stage driver-proven by
+#                              video_frame_sample + image_phash_near_dup
 #   semi_join_seen           — D5/D6 existence-check machinery is the
 #                              complement predicate of anti_join_unseen
 #                              on the same key/exchange plan (and every
@@ -75,6 +78,7 @@ DRIVER_DEMOTED = [
     "fifo_sequence",
     "exact_dup_stats",
     "semi_join_seen",
+    "video_near_dup",
     "tpch_q1",
     "simhash16",
     "politeness_lag",

@@ -143,3 +143,29 @@ def test_empty_partition_batches(spark):
     assert M.sample_frames(vids, k=2).count() == 6
     clips = M.audio_table(spark, 3, n_samples=800, partitions=8)
     assert M.audio_energy_windows(clips, window_ms=50).count() == 6
+
+
+def test_video_near_dupes_rollup(spark):
+    """Video pairs sharing >=2 equal-phash sampled frames, vs a
+    numpy brute force. Videos v and v+256 share ALL sampled frames
+    (seeds differ by 256*1009 == 0 mod 256), so with 300 videos the
+    result is non-empty by construction."""
+    n = 300
+    vids = M.videos_table(spark, n, n_frames=12, fps=24)
+    got = {(int(r.video_a), int(r.video_b)): int(r.n_frame_matches)
+           for r in M.video_near_dupes(vids, k=4, max_hamming=0,
+                                       min_matching_frames=2).collect()}
+    # brute force over the phash vocabulary
+    idx = [0, 3, 6, 9]
+    ph = {(v, i): I._phash(I._pixels((v * M.FRAME_STRIDE + i) % 256,
+                                     32, 32))
+          for v in range(n) for i in idx}
+    want: dict[tuple[int, int], int] = {}
+    for va in range(n):
+        for vb in range(va + 1, n):
+            m = sum(1 for i in idx for j in idx
+                    if ph[(va, i)] == ph[(vb, j)])
+            if m >= 2:
+                want[(va, vb)] = m
+    assert got == want
+    assert any(v == 4 for v in got.values())  # the v/v+256 full dups

@@ -108,6 +108,7 @@ def test_demoted_coverage_subsumed_by_in_window_sibling():
         "fifo_sequence": "crawl_delay_budget_golden",
         "exact_dup_stats": "corpus_clean",
         "semi_join_seen": "anti_join_unseen",
+        "video_near_dup": "video_frame_sample",
         "tpch_q1": "success_rate",
         "simhash16": "simhash_bucket_pairs",
         "politeness_lag": "crawl_5round_golden",
