@@ -45,14 +45,39 @@ def frontier_round_throughput(
     scale: float = 0.1,
     n_hosts: int = 1000,
     k_per_host: int = 64,
+    input_mode: str = "checkpoint",
 ) -> tuple[int, float]:
     """Run one scheduling round over ~scale*20M candidate URLs; returns
-    (n_candidate_urls, wall_seconds)."""
+    (n_candidate_urls, wall_seconds).
+
+    ``input_mode``:
+    * ``checkpoint`` (default) — inputs live as JVM storage blocks.
+      Fastest at small-to-mid scale, but on ONE box the blocks compete
+      with shuffle/execution memory for the same heap: the measured
+      knee is ~100M URLs at a 24g heap (BENCH.md linearity table).
+    * ``parquet`` — inputs written once to parquet (not timed) and
+      SCANNED per pass, the way a cluster round actually reads its
+      frontier/seen state from the lake. Storage memory stays free, so
+      the heap knee moves out of reach of input size; the scan cost is
+      the honest 100 TB model.
+    """
     n = max(int(scale * URLS_PER_SF), 200_000)
     # materialize inputs first: the metric times the round pipeline, not
     # the synthetic generator (and avoids AQE re-running the gen chain).
-    wave = _wave(spark, n, n_hosts).localCheckpoint(eager=True)
-    seen = _seen(spark, n, n_hosts).localCheckpoint(eager=True)
+    if input_mode == "parquet":
+        import os
+        import shutil
+
+        base = os.path.join(os.getcwd(), "spark-warehouse",
+                            f"bench_inputs_{n}")
+        shutil.rmtree(base, ignore_errors=True)
+        _wave(spark, n, n_hosts).write.parquet(f"{base}/wave")
+        _seen(spark, n, n_hosts).write.parquet(f"{base}/seen")
+        wave = spark.read.parquet(f"{base}/wave")
+        seen = spark.read.parquet(f"{base}/seen")
+    else:
+        wave = _wave(spark, n, n_hosts).localCheckpoint(eager=True)
+        seen = _seen(spark, n, n_hosts).localCheckpoint(eager=True)
     robots = robots_dim(spark, n_hosts)
 
     t0 = time.perf_counter()
