@@ -12,3 +12,4 @@ from . import html_queries  # noqa: F401,E402
 from . import robots_queries  # noqa: F401,E402
 from . import geo_queries  # noqa: F401,E402
 from . import media_queries  # noqa: F401,E402
+from . import sampling_queries  # noqa: F401,E402

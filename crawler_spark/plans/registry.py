@@ -64,6 +64,13 @@ ORACLES: dict[str, str] = {}
 #                              corpus_clean's single chained oracle (the
 #                              exact-dup stage feeds the minhash stage
 #                              there); demoted r04 for video_frame_sample
+#   filter_validity          — B1/B2 validity predicates execute (and are
+#                              value-checked by the unrolled SQL) inside
+#                              every round of crawl_5round_golden's deep
+#                              oracle; demoted r04 for corpus_split_stats
+#   stratified_sample        — same hash-threshold machinery as the
+#                              in-window corpus_split_stats; only the
+#                              per-stratum rate CASE differs
 #   video_near_dup           — composed sample->phash-band->rollup chain;
 #                              each stage driver-proven by
 #                              video_frame_sample + image_phash_near_dup
@@ -79,6 +86,8 @@ DRIVER_DEMOTED = [
     "exact_dup_stats",
     "semi_join_seen",
     "video_near_dup",
+    "filter_validity",
+    "stratified_sample",
     "tpch_q1",
     "simhash16",
     "politeness_lag",

@@ -34,6 +34,7 @@ WINDOW_CRITICAL = [
     "crawl_pages_with_captions",  # north-rule image+caption table
     "video_frame_sample",         # multimodal video frame-sample (r04)
     "audio_energy_windows",       # multimodal audio feature-extract (r04)
+    "corpus_split_stats",         # deterministic split/sampling (r04)
 ]
 
 
@@ -67,7 +68,7 @@ def test_demoted_fit_in_tail():
 # the previous round's driver output — list them here when adding them,
 # and empty the set at the next round rollover.
 NEW_THIS_ROUND = {"crawl_delay_budget_golden", "video_frame_sample",
-                  "audio_energy_windows"}
+                  "audio_energy_windows", "corpus_split_stats"}
 
 
 def test_latest_correctness_output_covers_window_critical():
@@ -109,6 +110,8 @@ def test_demoted_coverage_subsumed_by_in_window_sibling():
         "exact_dup_stats": "corpus_clean",
         "semi_join_seen": "anti_join_unseen",
         "video_near_dup": "video_frame_sample",
+        "filter_validity": "crawl_5round_golden",
+        "stratified_sample": "corpus_split_stats",
         "tpch_q1": "success_rate",
         "simhash16": "simhash_bucket_pairs",
         "politeness_lag": "crawl_5round_golden",
