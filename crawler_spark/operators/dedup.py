@@ -264,6 +264,143 @@ def verify_pairs_jaccard(
     )
 
 
+# ---------------------------------------------------------------------------
+# Connected components over candidate pairs — the clustering step a real
+# dedup pipeline runs AFTER LSH: candidate edges -> components -> one
+# canonical representative per component (the minimum id, a deterministic
+# fixpoint independent of partitioning and iteration order).
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Component label per node of the candidate-pair graph.
+
+    Returns ``(node, rep)`` where ``rep`` is the minimum id in the node's
+    connected component. Min-label propagation with pointer jumping:
+    each iteration takes (a) the min label over graph neighbours and
+    (b) the label of the node's own label ("jump"), so label paths halve
+    every round and convergence is O(log diameter) iterations, not
+    O(diameter) — the hash-to-min shape (cf. Rastogi et al., "Finding
+    Connected Components in Map-Reduce").
+
+    Scale: one shuffle over the edge list (partial min agg map-side) and
+    one self-join over the label table per iteration. The LSH candidate
+    graph is |near-dup pairs| — orders of magnitude smaller than the
+    corpus — and the label table is checkpointed every round so lineage
+    stays flat (the repo's AQE-recompute gotcha). The fixpoint (component
+    min) is unique, so results are deterministic regardless of schedule.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("rep"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.src") == F.col("l.node"))
+            .groupBy(F.col("e.dst").alias("node"))
+            .agg(F.min("l.rep").alias("nbr_rep"))
+        )
+        jump = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.rep") == F.col("b.node"), "left")
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(F.col("a.rep"), F.coalesce(F.col("b.rep"), F.col("a.rep"))).alias("rep"),
+            )
+        )
+        new_labels = (
+            jump.alias("j")
+            .join(nbr_min.alias("n"), "node", "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("j.rep"), F.coalesce(F.col("n.nbr_rep"), F.col("j.rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("x")
+            .join(labels.alias("y"), "node")
+            .where(F.col("x.rep") != F.col("y.rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
+
+
+def cluster_representatives(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(node, rep, cluster_size) for every node in a candidate pair —
+    connected components plus the per-component size rollup."""
+    comp = connected_components(pairs, id_a, id_b)
+    sizes = comp.groupBy("rep").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "rep").select("node", "rep", "cluster_size")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — flag corpus docs sharing any word n-gram
+# with a held-out evaluation set (the standard training-data hygiene op).
+# ---------------------------------------------------------------------------
+def ngram_hashes_exploded(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4
+) -> DataFrame:
+    """(_id, _g): md5 of each DISTINCT word n-gram per doc. Docs with
+    fewer than n tokens contribute nothing (mirrors the shingle rule)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_t"),  # bound once: HOF
+        # lambda bodies re-run inline exprs (see word_shingles_from_tokens)
+    )
+    return toks.select(
+        "_id",
+        F.explode(
+            F.array_distinct(word_shingles_from_tokens(F.col("_t"), n))
+        ).alias("_s"),
+    ).select("_id", F.md5("_s").alias("_g"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Per-corpus-doc count of distinct word n-grams shared with the eval
+    set: ``(id_col, n_shared)`` — rows only for contaminated docs; filter
+    the corpus by anti-joining this result.
+
+    Scale: the eval n-gram set is small by nature (benchmarks are
+    thousands of docs, the corpus is billions), so it is broadcast —
+    the corpus-side explode joins map-side with NO shuffle of the corpus
+    grams; the per-doc count aggregates with a map-side partial. Grams
+    are md5'd to fixed width before the join so the broadcast table is
+    compact and engine-portable."""
+    tr = ngram_hashes_exploded(corpus, id_col, text_col, n)
+    ev = ngram_hashes_exploded(eval_set, id_col, text_col, n).select("_g").distinct()
+    return (
+        tr.join(F.broadcast(ev), "_g")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_shared"))
+        .select(F.col("_id").alias(id_col), "n_shared")
+    )
+
+
 def simhash16_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """DataFrame-level simhash16: one md5 per distinct token (explode ->
     codegen md5 -> conditional-sum agg), identical values to

@@ -703,3 +703,81 @@ def simhash_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", "simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: LSH candidate pairs -> connected components -> one
+# canonical representative (component min) + cluster size. The step a real
+# dedup pipeline runs after candidate generation — pairwise drops under-
+# merge transitive chains (a~b, b~c but a!~b by pair logic); components
+# give each doc exactly one canonical id. Oracle: DuckDB WITH RECURSIVE
+# transitive closure over the SAME candidate edges — the fixpoint
+# (component minimum) is unique, so the iterative Spark propagation and
+# the recursive SQL closure must agree bit-for-bit.
+# ---------------------------------------------------------------------------
+_CLUSTER_ORACLE = """
+WITH RECURSIVE cand AS ({lsh}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b, id_a FROM cand
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT rep_id, COUNT(*) AS cluster_size FROM comp GROUP BY rep_id
+)
+SELECT c.doc_id, c.rep_id, s.cluster_size
+FROM comp c JOIN sizes s USING (rep_id)
+""".format(lsh=_LSH_ORACLE)
+
+
+@register("near_dup_clusters", oracle=_CLUSTER_ORACLE)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_candidates(d, "doc_id", "text", k=6, band_size=2)
+    return DD.cluster_representatives(pairs).select(
+        F.col("node").alias("doc_id"),
+        F.col("rep").alias("rep_id"),
+        "cluster_size",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: corpus docs sharing any word 4-gram with the
+# held-out eval slice (doc_id % 17 = 3 — deterministic, no external data).
+# The eval n-gram set is broadcast; the corpus side never shuffles its
+# grams. Output: contaminated doc -> count of shared distinct 4-grams.
+# ---------------------------------------------------------------------------
+@register(
+    "decontaminate_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(l) - 2),
+               i -> md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS gs
+      FROM toks WHERE len(l) >= 4
+    ), g AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+    ), ev AS (
+      SELECT DISTINCT g FROM g WHERE doc_id % 17 = 3
+    ), tr AS (
+      SELECT doc_id, g FROM g WHERE doc_id % 17 <> 3
+    )
+    SELECT tr.doc_id, COUNT(*) AS n_shared
+    FROM tr JOIN ev USING (g) GROUP BY tr.doc_id
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 17 == 3)
+    tr = d.where(F.col("doc_id") % 17 != 3)
+    return DD.decontaminate(tr, ev, "doc_id", "text", n=4)

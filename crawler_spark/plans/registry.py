@@ -80,8 +80,24 @@ ORACLES: dict[str, str] = {}
 #                              crawl golden exercises the anti side
 #                              against a durable seen set); demoted r04
 #                              for audio_energy_windows
+#   dedup_first_wins         — D3/D4 in-batch first-wins is value-proven
+#                              every round of crawl_5round_golden (the
+#                              unrolled oracle's DISTINCT new{r} + seen
+#                              anti-join) AND by corpus_clean's exact-
+#                              dedup stage (the identical row_number-
+#                              over-hash plan); demoted r04 for
+#                              near_dup_clusters
+#   hourly_tumbling_agg      — tumbling window = deterministic time-
+#                              bucket groupBy; the agg shape is driver-
+#                              proven by heatmap_grid (spatial buckets)
+#                              and the watermark/window binding by
+#                              sessionization (the strictly richer gap-
+#                              merged variant); demoted r04 for
+#                              decontaminate_ngrams
 DRIVER_WINDOW = 50
 DRIVER_DEMOTED = [
+    "dedup_first_wins",
+    "hourly_tumbling_agg",
     "fifo_sequence",
     "exact_dup_stats",
     "semi_join_seen",

@@ -35,6 +35,8 @@ WINDOW_CRITICAL = [
     "video_frame_sample",         # multimodal video frame-sample (r04)
     "audio_energy_windows",       # multimodal audio feature-extract (r04)
     "corpus_split_stats",         # deterministic split/sampling (r04)
+    "near_dup_clusters",          # connected-components clustering (r04)
+    "decontaminate_ngrams",       # eval-set n-gram decontamination (r04)
 ]
 
 
@@ -68,7 +70,8 @@ def test_demoted_fit_in_tail():
 # the previous round's driver output — list them here when adding them,
 # and empty the set at the next round rollover.
 NEW_THIS_ROUND = {"crawl_delay_budget_golden", "video_frame_sample",
-                  "audio_energy_windows", "corpus_split_stats"}
+                  "audio_energy_windows", "corpus_split_stats",
+                  "near_dup_clusters", "decontaminate_ngrams"}
 
 
 def test_latest_correctness_output_covers_window_critical():
@@ -106,6 +109,8 @@ def test_demoted_coverage_subsumed_by_in_window_sibling():
     """Each demoted query's operator coverage has a named in-window
     sibling (the reason demotion is safe)."""
     sibling = {
+        "dedup_first_wins": "crawl_5round_golden",
+        "hourly_tumbling_agg": "sessionization",
         "fifo_sequence": "crawl_delay_budget_golden",
         "exact_dup_stats": "corpus_clean",
         "semi_join_seen": "anti_join_unseen",
