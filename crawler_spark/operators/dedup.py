@@ -303,42 +303,41 @@ def connected_components(
         .select("node", F.col("node").alias("rep"))
         .localCheckpoint(eager=True)
     )
+    # One fused pass per iteration: new_rep(v) = min over rep(u) for u in
+    # {v} ∪ N(v) ∪ {rep(v)} — the self term via a (v -> v) loop edge, the
+    # pointer jump via a (rep(v) -> v) label edge. edges ∪ both label-edge
+    # sets feed ONE equi-join + ONE min agg (2 shuffles/iter, map-side
+    # partial min), vs the naive 3-join + window form. Convergence: reps
+    # are per-node monotone non-increasing, so sum(rep) is strictly
+    # decreasing until the fixpoint — an agg on the already-checkpointed
+    # labels, no comparison join. decimal(38,0) keeps the sum exact at
+    # any conceivable id magnitude.
+    def _sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("rep").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _sum(labels)
     for _ in range(max_iters):
-        nbr_min = (
-            edges.alias("e")
-            .join(labels.alias("l"), F.col("e.src") == F.col("l.node"))
-            .groupBy(F.col("e.dst").alias("node"))
-            .agg(F.min("l.rep").alias("nbr_rep"))
-        )
-        jump = (
-            labels.alias("a")
-            .join(labels.alias("b"), F.col("a.rep") == F.col("b.node"), "left")
-            .select(
-                F.col("a.node").alias("node"),
-                F.least(F.col("a.rep"), F.coalesce(F.col("b.rep"), F.col("a.rep"))).alias("rep"),
-            )
+        aug = (
+            edges
+            .union(labels.select(F.col("node").alias("src"),
+                                 F.col("node").alias("dst")))
+            .union(labels.select(F.col("rep").alias("src"),
+                                 F.col("node").alias("dst")))
         )
         new_labels = (
-            jump.alias("j")
-            .join(nbr_min.alias("n"), "node", "left")
-            .select(
-                F.col("node"),
-                F.least(
-                    F.col("j.rep"), F.coalesce(F.col("n.nbr_rep"), F.col("j.rep"))
-                ).alias("rep"),
-            )
+            aug.alias("e")
+            .join(labels.alias("l"), F.col("e.src") == F.col("l.node"))
+            .groupBy(F.col("e.dst").alias("node"))
+            .agg(F.min("l.rep").alias("rep"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("x")
-            .join(labels.alias("y"), "node")
-            .where(F.col("x.rep") != F.col("y.rep"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        cur_sum = _sum(labels)
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
 
 
