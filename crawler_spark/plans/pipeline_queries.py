@@ -781,3 +781,41 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = d.where(F.col("doc_id") % 17 == 3)
     tr = d.where(F.col("doc_id") % 17 != 3)
     return DD.decontaminate(tr, ev, "doc_id", "text", n=4)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: pack docs into fixed 512-token bins, shard-local
+# (bucket = doc_id % 8) and deterministic — the pretraining-batch layout
+# step. One window shuffle on the bucket; a corpus-wide ORDER BY pack
+# would be a single-partition window (the scale trap this shape avoids;
+# real packers pack per shard anyway).
+# ---------------------------------------------------------------------------
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             doc_id % 8 AS bucket
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens, bucket,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_excl
+      FROM t
+    )
+    SELECT doc_id, n_tokens, bucket,
+           cum_excl // 512 AS bin_id,
+           cum_excl % 512 AS bin_offset
+    FROM c
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, "doc_id", TX.token_count(F.col("text")), capacity=512, n_buckets=8
+    )

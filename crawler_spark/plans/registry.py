@@ -94,8 +94,14 @@ ORACLES: dict[str, str] = {}
 #                              sessionization (the strictly richer gap-
 #                              merged variant); demoted r04 for
 #                              decontaminate_ngrams
+#   quality_score            — the quality expression is an OUTPUT
+#                              column of corpus_clean (value-hashed
+#                              there on every surviving doc, plus the
+#                              >= 4 gate); demoted r04 for
+#                              sequence_packing
 DRIVER_WINDOW = 50
 DRIVER_DEMOTED = [
+    "quality_score",
     "dedup_first_wins",
     "hourly_tumbling_agg",
     "fifo_sequence",

@@ -37,6 +37,7 @@ WINDOW_CRITICAL = [
     "corpus_split_stats",         # deterministic split/sampling (r04)
     "near_dup_clusters",          # connected-components clustering (r04)
     "decontaminate_ngrams",       # eval-set n-gram decontamination (r04)
+    "sequence_packing",           # pretraining bin packing (r04)
 ]
 
 
@@ -71,7 +72,8 @@ def test_demoted_fit_in_tail():
 # and empty the set at the next round rollover.
 NEW_THIS_ROUND = {"crawl_delay_budget_golden", "video_frame_sample",
                   "audio_energy_windows", "corpus_split_stats",
-                  "near_dup_clusters", "decontaminate_ngrams"}
+                  "near_dup_clusters", "decontaminate_ngrams",
+                  "sequence_packing"}
 
 
 def test_latest_correctness_output_covers_window_critical():
@@ -109,6 +111,7 @@ def test_demoted_coverage_subsumed_by_in_window_sibling():
     """Each demoted query's operator coverage has a named in-window
     sibling (the reason demotion is safe)."""
     sibling = {
+        "quality_score": "corpus_clean",
         "dedup_first_wins": "crawl_5round_golden",
         "hourly_tumbling_agg": "sessionization",
         "fifo_sequence": "crawl_delay_budget_golden",
