@@ -375,7 +375,7 @@ def cosine_rowwise_udf():
     return cos
 
 
-def near_dup_ann(
+def near_dup_pairs_ann(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
@@ -385,9 +385,8 @@ def near_dup_ann(
     dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
-    """Near-duplicate dedup, the 100 TB path wired end-to-end:
-    LSH candidates -> exact cosine threshold verify -> min-id
-    representative election (dup row -> kept row).
+    """Verified near-duplicate PAIRS (id_a < id_b), the 100 TB path:
+    LSH candidates -> exact cosine threshold verify.
 
     Candidates are the union over ``n_tables`` banded hyperplane tables of
     same-bucket pairs — one posexplode + one equi-join on (table, bucket),
@@ -433,7 +432,29 @@ def near_dup_ann(
         .withColumn("cos", cos_rw(F.col("va"), F.col("vb")))
         .where(F.col("cos") >= threshold)
     )
-    return verified.groupBy(F.col("id_b").alias("dup_id")).agg(
+    return verified.select("id_a", "id_b")
+
+
+def near_dup_ann(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate dedup, the 100 TB path wired end-to-end:
+    LSH candidates -> exact cosine threshold verify -> min-id
+    representative election (dup row -> kept row). Pairwise election:
+    for the TRANSITIVE form feed ``near_dup_pairs_ann`` into
+    ``operators.dedup.connected_components`` (a~b~c chains otherwise
+    leave b both dup and kept)."""
+    pairs = near_dup_pairs_ann(
+        corpus, id_col, vec_col, threshold, n_tables, n_planes, dim, seed
+    )
+    return pairs.groupBy(F.col("id_b").alias("dup_id")).agg(
         F.min("id_a").alias("kept_id")
     )
 

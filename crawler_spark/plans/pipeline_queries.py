@@ -819,3 +819,68 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         d, "doc_id", TX.token_count(F.col("text")), capacity=512, n_buckets=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Transitive embedding dedup: the SAME verified near-dup pairs as
+# embedding_near_dup_ann, run through connected components — the
+# pairwise min-id election under-merges a~b~c chains (b is then both
+# dup and kept); the closure gives every vector exactly one canonical
+# representative. Tail query: each stage is driver-proven by
+# embedding_near_dup_ann (pairs) + near_dup_clusters (closure).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_dup_clusters",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+    ), aug AS (
+      SELECT vec_id, embedding FROM base
+      UNION ALL
+      SELECT vec_id + 10000,
+             list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+      FROM base WHERE vec_id < 50
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) AS cos
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    ), nd AS (
+      SELECT id_a, id_b FROM pairs WHERE cos >= 0.9
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM nd
+      UNION ALL
+      SELECT id_b, id_a FROM nd
+    ), reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node AS vec_id, MIN(lbl) AS rep_id FROM reach GROUP BY node
+    ), sizes AS (
+      SELECT rep_id, COUNT(*) AS cluster_size FROM comp GROUP BY rep_id
+    )
+    SELECT c.vec_id, c.rep_id, s.cluster_size
+    FROM comp c JOIN sizes s USING (rep_id)
+    """.format(
+        dot_ab=_DOT.format(a="a.embedding", b="b.embedding"),
+        dot_aa=_DOT.format(a="a.embedding", b="a.embedding"),
+        dot_bb=_DOT.format(a="b.embedding", b="b.embedding"),
+    ),
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 200
+    ).select("vec_id", "embedding")
+    dups = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(2.0).cast("float")
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(dups)
+    pairs = SIM.near_dup_pairs_ann(aug, "vec_id", "embedding", threshold=0.9)
+    return DD.cluster_representatives(pairs).select(
+        F.col("node").alias("vec_id"),
+        F.col("rep").alias("rep_id"),
+        "cluster_size",
+    )

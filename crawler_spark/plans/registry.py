@@ -99,8 +99,13 @@ ORACLES: dict[str, str] = {}
 #                              there on every surviving doc, plus the
 #                              >= 4 gate); demoted r04 for
 #                              sequence_packing
+#   embedding_dup_clusters   — composed chain registered directly to
+#                              the tail (r04): verified ANN pairs are
+#                              driver-proven by embedding_near_dup_ann,
+#                              the closure by near_dup_clusters
 DRIVER_WINDOW = 50
 DRIVER_DEMOTED = [
+    "embedding_dup_clusters",
     "quality_score",
     "dedup_first_wins",
     "hourly_tumbling_agg",

@@ -111,6 +111,7 @@ def test_demoted_coverage_subsumed_by_in_window_sibling():
     """Each demoted query's operator coverage has a named in-window
     sibling (the reason demotion is safe)."""
     sibling = {
+        "embedding_dup_clusters": "near_dup_clusters",
         "quality_score": "corpus_clean",
         "dedup_first_wins": "crawl_5round_golden",
         "hourly_tumbling_agg": "sessionization",
