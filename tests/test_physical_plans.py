@@ -173,3 +173,22 @@ def test_whole_stage_codegen_on_scan_heavy_query(spark):
     # both the partial and final aggregate must be inside codegen stages.
     assert "*(1) HashAggregate" in plan and "partial_sum" in plan
     assert "*(2) HashAggregate" in plan
+
+
+def test_decontaminate_eval_grams_are_broadcast(spark):
+    """The corpus side must never shuffle its grams: the eval gram set
+    joins as a broadcast (the 100 TB decontamination shape)."""
+    df = QUERIES["decontaminate_ngrams"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_single_exchange(spark):
+    """Packing is ONE window shuffle on the bucket — a corpus-wide
+    ORDER BY would show a rangepartitioning Exchange / global Sort."""
+    df = QUERIES["sequence_packing"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
