@@ -104,7 +104,12 @@ def simulate(
     n_hosts: int = spec.N_HOSTS,
     max_retries: int = spec.MAX_RETRIES,
     cooldown_rounds: int = 1,
+    budget_fn=None,
 ) -> SimResult:
+    # budget_fn(k_per_host, host_id) -> per-host round budget; defaults
+    # to the frozen spec dim (spec.host_budget). Tests exercising a
+    # custom robots crawl_delay profile pass their own.
+    budget_fn = budget_fn or spec.host_budget
     res = SimResult()
     page_of_url = {url_of(p, n_hosts): p for p in range(n_pages)}
     last_fetch: dict[int, int] = {}  # host_id -> last fetched round (G1)
@@ -143,7 +148,7 @@ def simulate(
         batch: list[tuple[FrontierRow, int]] = []
         for h, rows in by_host.items():
             rows.sort(key=lambda x: (x.priority, x.disc_round, _md5(x.url), x.url))
-            picked_rows = rows[: spec.host_budget(k_per_host, h)]
+            picked_rows = rows[: budget_fn(k_per_host, h)]
             if picked_rows:
                 last_fetch[h] = r
             for seq, row in enumerate(picked_rows, start=1):

@@ -202,3 +202,45 @@ def test_dead_link_routes_to_dlq(spark):
     dlq = [r["url"] for r in state.dlq[0].collect()]
     assert dlq == [dead_url]                       # ...and DLQ'd
     assert state.frontier.where(F.col("url") == dead_url).count() == 0
+
+
+def test_cooldown_with_heterogeneous_delays_golden(spark):
+    """The untested cross of two politeness mechanisms: cross-round host
+    cooldown (G1) x per-host crawl_delay budgets {1,2,5}. Engine vs the
+    simulator with a matching custom budget_fn, bit-for-bit on the fetch
+    log and seen set."""
+    from pyspark.sql import functions as F
+
+    n_pages, n_hosts, n_seeds, rounds, k = 2000, 20, 6, 4, 5
+    web = synth.web_graph(spark, n_pages, n_hosts)
+    h = F.col("id").cast("int")
+    robots = spark.range(0, n_hosts).select(
+        h.alias("host_id"),
+        F.when(h % spec.ROBOTS_MOD == spec.ROBOTS_REM,
+               spec.ROBOTS_DISALLOW).alias("disallow"),
+        F.when(h % 3 == 0, 2).when(h % 3 == 1, 5).otherwise(1)
+        .cast("int").alias("crawl_delay"),
+    ).where(F.col("disallow").isNotNull() | (F.col("crawl_delay") > 1))
+    seeds = synth.seed_urls(spark, n_pages, n_seeds, n_hosts)
+    state = run_crawl(spark, web, seeds, robots, rounds=rounds, k_per_host=k,
+                      cooldown_rounds=2)
+
+    def budget(k_per_host, host_id):
+        delay = 2 if host_id % 3 == 0 else (5 if host_id % 3 == 1 else 1)
+        return max(1, k_per_host // delay)
+
+    sim = simulator.simulate(n_pages, n_seeds, rounds, k, n_hosts,
+                             cooldown_rounds=2, budget_fn=budget)
+    got = sorted(
+        (r["round"], r["priority"], r["host_id"], r["url"], r["seq"])
+        for r in fetch_log_df(state).collect()
+    )
+    assert got == sorted(sim.fetch_log)
+    assert {r["url"] for r in state.seen.collect()} == sim.seen
+    # the delay classes actually bind: some host must hit a reduced budget
+    per_host_round = {}
+    for rnd, _p, hid, _u, seq in got:
+        per_host_round[(rnd, hid)] = max(per_host_round.get((rnd, hid), 0), seq)
+    capped = [hid for (_r, hid), mx in per_host_round.items()
+              if mx == budget(k, hid) and budget(k, hid) < k]
+    assert capped, "no host ever reached a reduced budget - test is vacuous"
