@@ -72,6 +72,28 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return word_shingles_from_tokens(F.split(text, " "), n)
 
 
+def exploded_distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(_id, _s): each DISTINCT word n-gram per row, exploded.
+
+    The split is bound to a column BEFORE the shingle transform (HOF
+    lambda bodies get no CSE — see word_shingles_from_tokens), and
+    array_distinct runs per-row (no shuffle) before the explode. Shared
+    by the MinHash signature path and the decontamination gram path.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_t"),
+    )
+    return toks.select(
+        "_id",
+        F.explode(
+            F.array_distinct(word_shingles_from_tokens(F.col("_t"), n))
+        ).alias("_s"),
+    )
+
+
 def _minhash_col(shingles: Column, j: int) -> Column:
     # NB: the seed must be bound *outside* the lambda — a `j=j` default
     # param would make PySpark treat it as an (element, index) lambda.
@@ -110,17 +132,7 @@ def minhash_lsh_candidates(
     # array_distinct BEFORE explode: min over a doc's shingle *set* equals
     # min over its multiset, so within-doc repeats would only re-pay k
     # md5s each. Per-row dedupe costs no shuffle (vs dropDuplicates).
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.split(F.col(text_col), " ").alias("_t"),  # bound once (see
-        # word_shingles_from_tokens: HOF lambdas re-run inline exprs)
-    )
-    ex = toks.select(
-        "_id",
-        F.explode(
-            F.array_distinct(word_shingles_from_tokens(F.col("_t"), shingle_n))
-        ).alias("_s"),
-    )
+    ex = exploded_distinct_shingles(df, id_col, text_col, shingle_n)
     # 2 md5s per shingle; lane j = its own 10-hex-char (40-bit) slice
     assert k <= 6, "6 independent 40-bit lanes per 2 digests"
     d1 = F.md5("_s")
@@ -360,17 +372,9 @@ def ngram_hashes_exploded(
 ) -> DataFrame:
     """(_id, _g): md5 of each DISTINCT word n-gram per doc. Docs with
     fewer than n tokens contribute nothing (mirrors the shingle rule)."""
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.split(F.col(text_col), " ").alias("_t"),  # bound once: HOF
-        # lambda bodies re-run inline exprs (see word_shingles_from_tokens)
+    return exploded_distinct_shingles(df, id_col, text_col, n).select(
+        "_id", F.md5("_s").alias("_g")
     )
-    return toks.select(
-        "_id",
-        F.explode(
-            F.array_distinct(word_shingles_from_tokens(F.col("_t"), n))
-        ).alias("_s"),
-    ).select("_id", F.md5("_s").alias("_g"))
 
 
 def decontaminate(

@@ -60,7 +60,10 @@ def pack_sequences(
             id_col,
             "n_tokens",
             "bucket",
-            F.floor(F.col("cum_excl") / capacity).alias("bin_id"),
+            # integral DIV, not floor(double /): a double quotient rounds
+            # past 2^53 cumulative tokens per bucket and could disagree
+            # with the oracle's exact // near bin boundaries.
+            F.expr(f"cum_excl DIV {int(capacity)}").alias("bin_id"),
             (F.col("cum_excl") % capacity).alias("bin_offset"),
         )
     )

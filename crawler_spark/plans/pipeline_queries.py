@@ -635,10 +635,11 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # planted pairs) and no background pair reaches the 0.9 threshold (max
 # background cos ~0.47 on this corpus).
 # ---------------------------------------------------------------------------
-@register(
-    "embedding_near_dup_ann",
-    oracle="""
-    WITH base AS (
+# Shared by embedding_near_dup_ann and embedding_dup_clusters: the
+# planted-dup corpus (Spark builder) and its brute-force verified-pair
+# CTE chain (oracle side) — one definition, so a slice or threshold
+# change cannot silently diverge between the two queries.
+_ND_PAIRS_CTES = """base AS (
       SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
     ), aug AS (
       SELECT vec_id, embedding FROM base
@@ -652,16 +653,15 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     ), nd AS (
       SELECT id_a, id_b FROM pairs WHERE cos >= 0.9
-    )
-    SELECT id_b AS dup_id, CAST(MIN(id_a) AS BIGINT) AS kept_id
-    FROM nd GROUP BY id_b
-    """.format(
-        dot_ab=_DOT.format(a="a.embedding", b="b.embedding"),
-        dot_aa=_DOT.format(a="a.embedding", b="a.embedding"),
-        dot_bb=_DOT.format(a="b.embedding", b="b.embedding"),
-    ),
+    )""".format(
+    dot_ab=_DOT.format(a="a.embedding", b="b.embedding"),
+    dot_aa=_DOT.format(a="a.embedding", b="a.embedding"),
+    dot_bb=_DOT.format(a="b.embedding", b="b.embedding"),
 )
-def embedding_near_dup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-dup embedding corpus (mirrors _ND_PAIRS_CTES's aug)."""
     base = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < 200
     ).select("vec_id", "embedding")
@@ -671,7 +671,19 @@ def embedding_near_dup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: x * F.lit(2.0).cast("float")
         ).alias("embedding"),
     )
-    aug = base.unionByName(dups)
+    return base.unionByName(dups)
+
+
+@register(
+    "embedding_near_dup_ann",
+    oracle="""
+    WITH {nd}
+    SELECT id_b AS dup_id, CAST(MIN(id_a) AS BIGINT) AS kept_id
+    FROM nd GROUP BY id_b
+    """.format(nd=_ND_PAIRS_CTES),
+)
+def embedding_near_dup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _aug_embeddings(spark, sf_dir)
     return SIM.near_dup_ann(aug, "vec_id", "embedding", threshold=0.9)
 
 
@@ -715,12 +727,13 @@ def simhash_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (component minimum) is unique, so the iterative Spark propagation and
 # the recursive SQL closure must agree bit-for-bit.
 # ---------------------------------------------------------------------------
-_CLUSTER_ORACLE = """
-WITH RECURSIVE cand AS ({lsh}),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM cand
+# Recursive-closure tail shared by every clustering oracle: components
+# (min label per node) + per-component sizes over a pair CTE named
+# ``{pairs}``, output id column named ``{id}``.
+_CLOSURE_SQL = """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM {pairs}
   UNION ALL
-  SELECT id_b, id_a FROM cand
+  SELECT id_b, id_a FROM {pairs}
 ),
 reach(node, lbl) AS (
   SELECT DISTINCT src, src FROM edges
@@ -728,14 +741,19 @@ reach(node, lbl) AS (
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
 ),
 comp AS (
-  SELECT node AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY node
+  SELECT node AS {id}, MIN(lbl) AS rep_id FROM reach GROUP BY node
 ),
 sizes AS (
   SELECT rep_id, COUNT(*) AS cluster_size FROM comp GROUP BY rep_id
 )
-SELECT c.doc_id, c.rep_id, s.cluster_size
+SELECT c.{id}, c.rep_id, s.cluster_size
 FROM comp c JOIN sizes s USING (rep_id)
-""".format(lsh=_LSH_ORACLE)
+"""
+
+_CLUSTER_ORACLE = (
+    "WITH RECURSIVE cand AS ({lsh}),\n".format(lsh=_LSH_ORACLE)
+    + _CLOSURE_SQL.format(pairs="cand", id="doc_id")
+)
 
 
 @register("near_dup_clusters", oracle=_CLUSTER_ORACLE)
@@ -831,53 +849,11 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "embedding_dup_clusters",
-    oracle="""
-    WITH RECURSIVE base AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
-    ), aug AS (
-      SELECT vec_id, embedding FROM base
-      UNION ALL
-      SELECT vec_id + 10000,
-             list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
-      FROM base WHERE vec_id < 50
-    ), pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) AS cos
-      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-    ), nd AS (
-      SELECT id_a, id_b FROM pairs WHERE cos >= 0.9
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM nd
-      UNION ALL
-      SELECT id_b, id_a FROM nd
-    ), reach(node, lbl) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-    ), comp AS (
-      SELECT node AS vec_id, MIN(lbl) AS rep_id FROM reach GROUP BY node
-    ), sizes AS (
-      SELECT rep_id, COUNT(*) AS cluster_size FROM comp GROUP BY rep_id
-    )
-    SELECT c.vec_id, c.rep_id, s.cluster_size
-    FROM comp c JOIN sizes s USING (rep_id)
-    """.format(
-        dot_ab=_DOT.format(a="a.embedding", b="b.embedding"),
-        dot_aa=_DOT.format(a="a.embedding", b="a.embedding"),
-        dot_bb=_DOT.format(a="b.embedding", b="b.embedding"),
-    ),
+    oracle="WITH RECURSIVE " + _ND_PAIRS_CTES + ",\n"
+    + _CLOSURE_SQL.format(pairs="nd", id="vec_id"),
 )
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = load_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") < 200
-    ).select("vec_id", "embedding")
-    dups = base.where(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x: x * F.lit(2.0).cast("float")
-        ).alias("embedding"),
-    )
-    aug = base.unionByName(dups)
+    aug = _aug_embeddings(spark, sf_dir)
     pairs = SIM.near_dup_pairs_ann(aug, "vec_id", "embedding", threshold=0.9)
     return DD.cluster_representatives(pairs).select(
         F.col("node").alias("vec_id"),

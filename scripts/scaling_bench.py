@@ -122,11 +122,22 @@ def main() -> None:
     reps = 0
     if "--reps" in sys.argv:
         i = sys.argv.index("--reps")
+        if i + 1 >= len(sys.argv):
+            sys.exit("--reps needs a value, e.g. --reps 4")
         reps = int(sys.argv[i + 1])
         del sys.argv[i:i + 2]
     if reps:
-        args = ((float(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
-                if len(sys.argv) > 1 else (0.5, 2, 8))
+        if write_bench:
+            sys.exit("--write-bench is not supported with --reps (the "
+                     "BENCH.md scaling section is hand-curated; paste the "
+                     "JSON distribution in manually)")
+        if len(sys.argv) == 1:
+            args = (0.5, 2, 8)
+        elif len(sys.argv) == 4:
+            args = (float(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
+        else:
+            sys.exit("--reps mode takes exactly one 'scale low high' "
+                     "triple (or none for the default pair)")
         print(json.dumps(run_alternating(*args, reps)))
         return
     if len(sys.argv) > 1:
