@@ -61,9 +61,17 @@ def frontier_round_throughput(
       the heap knee moves out of reach of input size; the scan cost is
       the honest 100 TB model.
     """
+    if input_mode not in ("checkpoint", "parquet"):
+        # a typo silently benchmarking the wrong mode would mislabel
+        # BENCH.md linearity evidence — fail loudly instead
+        raise ValueError(f"input_mode must be 'checkpoint' or 'parquet', "
+                         f"got {input_mode!r}")
     n = max(int(scale * URLS_PER_SF), 200_000)
     # materialize inputs first: the metric times the round pipeline, not
     # the synthetic generator (and avoids AQE re-running the gen chain).
+    # parquet inputs are rewritten per (n) under spark-warehouse/ and
+    # left on disk for reuse across a sweep; remove spark-warehouse/
+    # bench_inputs_* to reclaim space after a campaign.
     if input_mode == "parquet":
         import os
         import shutil

@@ -187,7 +187,9 @@ def audio_table(
 # operators
 # ---------------------------------------------------------------------------
 
-def sample_frames(videos: DataFrame, k: int) -> DataFrame:
+def sample_frames(
+    videos: DataFrame, k: int, include_bytes: bool = True
+) -> DataFrame:
     """Uniform-k frame sampling: decode the container, keep frames at
     ``floor(j * n_frames / k)`` for j in 0..k-1 (the standard uniform
     temporal sample; indices dedupe when n_frames < k), re-encode each
@@ -205,6 +207,12 @@ def sample_frames(videos: DataFrame, k: int) -> DataFrame:
     operator reads O(payload) and writes O(k·frame), shuffle-free; a
     real inter-frame codec (H.264 etc.) would decode sequentially inside
     the same per-row boundary.
+
+    ``include_bytes=False`` drops the re-encoded payload column (and its
+    per-frame copy + Arrow transfer) for hash-only consumers — the video
+    near-dup rollup uses only (video_id#frame_idx, phash), so shipping
+    every sampled frame's full image bytes across Arrow just to discard
+    them was the dominant per-row cost of that path.
     """
 
     # struct.Struct doesn't pickle (images.py note) — the closure uses
@@ -233,24 +241,27 @@ def sample_frames(videos: DataFrame, k: int) -> DataFrame:
                 kept = np.stack([fr[idx] for fr, _ in decoded])
                 flat = kept.reshape(len(grp) * kk, h_, w_, 3)
                 ph = _phash_batch(flat)
-                img_hdr = struct.pack(img_hdr_fmt, img_magic, w_, h_, 0)
                 ts = (idx * 1000) // fps
-                frames_out.append(pd.DataFrame({
+                cols = {
                     "video_id": np.repeat(grp["video_id"].to_numpy(), kk),
                     "frame_idx": np.tile(idx, len(grp)).astype(np.int32),
                     "ts_ms": np.tile(ts, len(grp)),
-                    "bytes": [img_hdr + f.tobytes() for f in flat],
                     "w": np.int32(w_),
                     "h": np.int32(h_),
                     "phash": ph,
-                }))
+                }
+                if include_bytes:
+                    img_hdr = struct.pack(img_hdr_fmt, img_magic, w_, h_, 0)
+                    cols["bytes"] = [img_hdr + f.tobytes() for f in flat]
+                frames_out.append(pd.DataFrame(cols))
             yield pd.concat(frames_out)
 
-    return videos.mapInPandas(
-        sample,
-        "video_id string, frame_idx int, ts_ms bigint, bytes binary, "
-        "w int, h int, phash long",
+    schema = (
+        "video_id string, frame_idx int, ts_ms bigint, "
+        + ("bytes binary, " if include_bytes else "")
+        + "w int, h int, phash long"
     )
+    return videos.mapInPandas(sample, schema)
 
 
 def audio_energy_windows(audio: DataFrame, window_ms: int = 50) -> DataFrame:
@@ -332,7 +343,7 @@ def video_near_dupes(
 
     from .images import phash_near_dupes
 
-    frames = sample_frames(videos, k).select(
+    frames = sample_frames(videos, k, include_bytes=False).select(
         F.concat_ws("#", "video_id", "frame_idx").alias("image_id"),
         "phash",
     )

@@ -319,17 +319,20 @@ def connected_components(
     # {v} ∪ N(v) ∪ {rep(v)} — the self term via a (v -> v) loop edge, the
     # pointer jump via a (rep(v) -> v) label edge. edges ∪ both label-edge
     # sets feed ONE equi-join + ONE min agg (2 shuffles/iter, map-side
-    # partial min), vs the naive 3-join + window form. Convergence: reps
-    # are per-node monotone non-increasing, so sum(rep) is strictly
-    # decreasing until the fixpoint — an agg on the already-checkpointed
-    # labels, no comparison join. decimal(38,0) keeps the sum exact at
-    # any conceivable id magnitude.
-    def _sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("rep").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-    prev_sum = _sum(labels)
+    # partial min), vs the naive 3-join + window form.
+    #
+    # Convergence detection is TYPE-GENERIC and join-free: the aggregate
+    # also captures the node's PREVIOUS rep via the src==dst rows (the
+    # explicit self-loop always joins the node's own label; a degenerate
+    # jump edge rep(v)==v carries the same value), so "any row changed?"
+    # is a filter on the checkpointed frame. (An earlier sum-of-reps
+    # probe was numeric-only: for string ids the decimal cast yields
+    # NULL and NULL == NULL declared convergence after one iteration.)
+    #
+    # Memory: each iteration's localCheckpoint supersedes the previous
+    # label table; the superseded blocks are released by Spark's
+    # ContextCleaner once the (immediately dropped) Python/JVM refs are
+    # GC'd, so steady-state storage is O(1) label tables, not O(iters).
     for _ in range(max_iters):
         aug = (
             edges
@@ -342,14 +345,21 @@ def connected_components(
             aug.alias("e")
             .join(labels.alias("l"), F.col("e.src") == F.col("l.node"))
             .groupBy(F.col("e.dst").alias("node"))
-            .agg(F.min("l.rep").alias("rep"))
+            .agg(
+                F.min("l.rep").alias("rep"),
+                F.max(
+                    F.when(F.col("e.src") == F.col("e.dst"), F.col("l.rep"))
+                ).alias("prev_rep"),
+            )
             .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        cur_sum = _sum(labels)
-        if cur_sum == prev_sum:
+        changed = (
+            new_labels.where(F.col("rep") != F.col("prev_rep"))
+            .limit(1).count()
+        )
+        labels = new_labels.select("node", "rep")
+        if changed == 0:
             return labels
-        prev_sum = cur_sum
     raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
 
 

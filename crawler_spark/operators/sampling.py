@@ -40,9 +40,15 @@ def hex_threshold(frac: float) -> str:
 
 
 def _hash_prefix(key: Column, seed: str) -> Column:
-    """First 8 hex chars of md5(key ':' seed) — the sampling coordinate."""
+    """First 8 hex chars of md5(key ':' seed) — the sampling coordinate.
+
+    ``concat`` (NOT concat_ws, which silently SKIPS null args) so a NULL
+    key yields a NULL coordinate, exactly like the oracle restatement's
+    ``CAST(key) || ':' || seed`` — on both engines NULL-key rows then
+    fail every threshold compare (excluded from samples, routed to the
+    CASE/otherwise 'train' branch of the split)."""
     return F.substring(
-        F.md5(F.concat_ws(":", key.cast("string"), F.lit(seed))
+        F.md5(F.concat(key.cast("string"), F.lit(":"), F.lit(seed))
               .cast("binary")),
         1, 8)
 

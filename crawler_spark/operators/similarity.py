@@ -195,12 +195,17 @@ def _grouped_candidate_topk(
     queries x kk survivor pairs — so the exchange after this stage and
     the exact re-rank window both see survivors, not candidates.
 
-    Correctness of the prune: the true top-k pairs of a query are, within
-    the group that holds them, among that group's top-k up to
-    BLAS-vs-fold ulp reordering, which the kk margin absorbs (scaled
-    with k for near-degenerate corpora where >4 candidates tie within
-    float error).  Survivor scores are recomputed downstream with the
-    exact fold, so output is bit-stable vs the DuckDB oracle.
+    Correctness of the prune — a BOUND, not a heuristic: let eps bound
+    the |BLAS - exact-fold| cosine discrepancy (float64, unit vectors,
+    d<=a few hundred: < 1e-12; EPS=1e-9 is 3 orders of safety).  A true
+    top-k member's BLAS score is >= its exact score - eps >= exact kth
+    - eps >= kth BLAS score - 2*eps, so keeping every candidate within
+    EPS of the kth BLAS score (never fewer than kk = max(k+4, 2k))
+    provably retains the exact top-k — even when MORE than kk candidates
+    tie within float error, the case a fixed count cannot absorb (a
+    near-degenerate group then degrades gracefully toward exact scoring
+    of all its ties).  Survivor scores are recomputed downstream with
+    the exact fold, so output is bit-stable vs the DuckDB oracle.
 
     ``c``: (group_cols..., n_id long, n_vec); ``q``: (group_cols...,
     q_id long, q_vec).  Salting is the caller's job: corpus rows carry
@@ -209,6 +214,7 @@ def _grouped_candidate_topk(
     (q, n) pair lands in exactly one group — the one n's salt selects).
     """
     kk = max(k + 4, 2 * k)
+    EPS = 1e-9  # >> any BLAS-vs-fold float64 cosine discrepancy
     vec_t = c.schema["n_vec"].dataType.simpleString()
     out_schema = f"q_id long, q_vec {vec_t}, n_id long, n_vec {vec_t}"
 
@@ -235,7 +241,15 @@ def _grouped_candidate_topk(
             cand = np.nonzero(nid != qid[j])[0]
             if len(cand) == 0:
                 continue
-            order = np.lexsort((nid[cand], -S[j][cand]))[:kk]
+            order_full = np.lexsort((nid[cand], -S[j][cand]))
+            if len(order_full) > kk:
+                sdesc = S[j][cand][order_full]
+                cutoff = sdesc[min(k, len(sdesc)) - 1] - EPS
+                n_keep = max(kk, int(np.searchsorted(
+                    -sdesc, -cutoff, side="right")))
+                order = order_full[:n_keep]
+            else:
+                order = order_full
             sel = cand[order]
             qs.append(np.full(len(sel), qid[j]))
             ns.append(nid[sel])

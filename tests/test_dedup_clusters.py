@@ -80,6 +80,18 @@ def test_empty_pairs(spark):
     assert connected_components(df).count() == 0
 
 
+def test_string_ids_chain(spark):
+    # Regression: convergence detection must be type-generic. The old
+    # sum-of-reps probe cast string reps to decimal -> NULL, and
+    # NULL == NULL declared a fixpoint after one iteration, silently
+    # returning partial propagation for md5/URL-keyed pipelines.
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    df = spark.createDataFrame(edges, "id_a: string, id_b: string")
+    got = _labels(connected_components(df))
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+                   ("e", "a"), ("x", "x"), ("y", "x")}
+
+
 def test_cluster_sizes(spark):
     edges = [(0, 1), (1, 2), (5, 6)]
     rows = {(r.node, r.rep, r.cluster_size)

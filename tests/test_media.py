@@ -169,3 +169,18 @@ def test_video_near_dupes_rollup(spark):
                 want[(va, vb)] = m
     assert got == want
     assert any(v == 4 for v in got.values())  # the v/v+256 full dups
+
+
+def test_sample_frames_hash_only_matches_full(spark):
+    """include_bytes=False must agree with the full output on every
+    non-bytes column (it is the same sampling/phash pass minus the
+    payload re-encode the near-dup rollup never reads)."""
+    from crawler_spark.frontier.media import sample_frames, videos_table
+
+    vids = videos_table(spark, 40).localCheckpoint()
+    full = sample_frames(vids, 4).drop("bytes")
+    lean = sample_frames(vids, 4, include_bytes=False)
+    assert lean.columns == full.columns
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, lean.collect()))
+    assert a == b and len(a) > 0

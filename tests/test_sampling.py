@@ -81,3 +81,17 @@ def test_stratified_rates(spark):
            out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert abs(got["en"] / (N / 4) - 0.5) < 0.04
     assert abs(got["de"] / (3 * N / 4) - 0.1) < 0.04
+
+
+def test_null_keys_match_oracle_semantics(spark):
+    """NULL keys must behave identically to the DuckDB restatement
+    (NULL-propagating concat): excluded from every hash sample, and
+    labeled 'train' by the split's otherwise-branch — never all lumped
+    into one shared pseudo-key bucket."""
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "k: long"
+    )
+    assert hash_sample(df, "k", 1.0).where(F.col("k").isNull()).count() == 0
+    split = train_val_test_split(df, "k")
+    got = {(r.k, r.split) for r in split.collect() if r.k is None}
+    assert got == {(None, "train")}

@@ -129,3 +129,36 @@ def test_batch_udfs_survive_empty_partitions(spark):
     n_one = pair.withColumn("c", cos(F.col("va"), F.col("vb"))) \
         .where(F.col("c") > 0.999999).count()
     assert n_one == 30
+
+
+def test_pruned_scoring_epsilon_cut_on_tie_cluster(spark):
+    """More candidates than kk tie within float error of the k-th score:
+    the fixed-count cut alone could drop a true top-k member on
+    BLAS-vs-fold reordering; the epsilon-widened cut keeps the whole tie
+    cluster and the exact fold decides. 30 near-identical vectors
+    (coordinate perturbations ~1e-10, cosine gaps << EPS) plus distant
+    background; pruned must equal unpruned at k=1 and k=3."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.similarity import lsh_ann_topk
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(64)
+    rows = []
+    for i in range(30):
+        v = base.copy()
+        v[i % 64] += 1e-10 * (i + 1)       # cosine gap ~1e-13 < EPS
+        rows.append((i, [float(x) for x in v]))
+    for i in range(30, 60):                # distant background
+        rows.append((i, [float(x) for x in rng.randn(64)]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    df = df.withColumn("embedding",
+                       F.col("embedding").cast("array<float>")).localCheckpoint()
+    q = df.where(F.col("vec_id") == 0)
+    for k in (1, 3):
+        a = sorted(map(tuple, lsh_ann_topk(
+            df, q, "vec_id", "embedding", k=k, prune=True).collect()))
+        b = sorted(map(tuple, lsh_ann_topk(
+            df, q, "vec_id", "embedding", k=k, prune=False).collect()))
+        assert a == b and len(a) == k, (k, a, b)
