@@ -98,11 +98,15 @@ def cosine_topk_matmul(
     # Local top-k margin: BLAS summation order differs from the oracle's
     # left fold by ~1 ulp, so candidates within float error of the k-th
     # score must survive the per-partition cut for the exact re-rank
-    # below to select the identical set.  The margin scales with k
-    # (max(k+4, 2k)): on near-degenerate corpora (e.g. the synthetic
-    # image features, all cos>=0.9998) more than 4 candidates can sit
-    # within float error of the k-th score in one partition.
+    # below to select the identical set.  Like _grouped_candidate_topk,
+    # the cut keeps at least kk = max(k+4, 2k) AND everything within EPS
+    # of the k-th BLAS score — the epsilon term makes retention a proof
+    # (a true top-k member's BLAS score cannot sit more than float error
+    # below the k-th), not a tie-count guess, even when an unbounded tie
+    # cluster straddles the boundary (near-degenerate corpora: the
+    # synthetic image features are all cos>=0.9998).
     kk = max(k + 4, 2 * k)
+    EPS = 1e-9  # >> any BLAS-vs-fold float64 cosine discrepancy
 
     def score(batches: "pd.DataFrame") -> "pd.DataFrame":
         cand_q, cand_n, cand_v = [], [], []
@@ -117,7 +121,15 @@ def cosine_topk_matmul(
             for j in range(len(q_ids)):
                 s = S[:, j]
                 mask = ids != q_ids[j]
-                order = np.lexsort((ids[mask], -s[mask]))[:kk]
+                order_full = np.lexsort((ids[mask], -s[mask]))
+                if len(order_full) > kk:
+                    sdesc = s[mask][order_full]
+                    cutoff = sdesc[min(k, len(sdesc)) - 1] - EPS
+                    n_keep = max(kk, int(np.searchsorted(
+                        -sdesc, -cutoff, side="right")))
+                    order = order_full[:n_keep]
+                else:
+                    order = order_full
                 sel = np.nonzero(mask)[0][order]
                 cand_q.append(np.full(len(sel), q_ids[j]))
                 cand_n.append(ids[sel])
@@ -184,7 +196,7 @@ def _grouped_candidate_topk(
     c: DataFrame, q: DataFrame, group_cols: list[str], k: int
 ) -> DataFrame:
     """Per-group (bucket/cell) candidate scoring: one BLAS matmul per
-    group, top ``kk = max(k+4, 2k)`` survivors per query.
+    group, survivors per query = the epsilon-widened top-``kk`` cut below.
 
     The naive alternatives both lose: the interpreted fold scores every
     candidate PAIR outside codegen (the 16x HOF trap), and a pair-level
