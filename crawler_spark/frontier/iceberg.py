@@ -7,7 +7,12 @@ resume). Jar-fetch attempts, once per round per the r02/r03 verdicts:
 r04 (2026-08-17): `curl https://repo1.maven.org/maven2/org/apache/
 iceberg/iceberg-spark-runtime-...` returns HTTP 000 (no outbound
 network in the sandbox; `spark.jars.packages` would fail the same way
-at the ivy resolve step). The runtime execution of this module's
+at the ivy resolve step).
+r05 (2026-08-17): same attempt, same result (HTTP 000) — the item is
+closed permanently in-sandbox per the r04 verdict #8; the standing
+guard is the parse-validation suite (tests/test_iceberg_sql.py), which
+fails if this module's SQL ever rots against the pinned Spark version.
+The runtime execution of this module's
 MERGE/WAP statements therefore remains cluster-only; everything below
 is parse-validated in-sandbox. This module pins the seam's OTHER side: the exact DDL and
 per-round SQL a cluster deployment executes against Iceberg tables, one

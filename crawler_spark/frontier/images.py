@@ -394,3 +394,43 @@ def image_features(images: DataFrame, grid: int = 8) -> DataFrame:
                 columns=["image_id", "embedding"]))
 
     return images.mapInPandas(feat, "image_id string, embedding array<float>")
+
+
+def cross_modal_dupes(
+    images: DataFrame,
+    max_hamming: int = 6,
+    jaccard_num: int = 1,
+    jaccard_den: int = 2,
+) -> DataFrame:
+    """Cross-modal duplicate pairs: images whose CAPTION near-matches
+    (MinHash-LSH candidates, exact token-Jaccard >= num/den verify) AND
+    whose PIXELS near-match (banded phash, Hamming <= max_hamming) —
+    the multimodal curation primitive for image+caption training data
+    (a re-post with the same alt text, vs a caption coincidence on
+    different pixels, vs the same pixels under unrelated text: only the
+    first is a true pair-level duplicate).
+
+    Scale shape: both candidate streams are the existing banded
+    equi-joins (caption minhash bands, phash 8x8-bit bands) — never
+    all-pairs — and the final AND is one equi-join on the canonical
+    (id_a, id_b) pair key, so the plan is three hash joins over id-only
+    rows.  Requires columns (image_id, caption, phash); returns
+    (id_a, id_b, hamming, n_intersect, n_union) with id_a < id_b.
+
+    Reference parity note: the reference stores captions and images but
+    dedups neither (file_storage.py:279-293 writes raw bytes keyed by
+    URL); this operator is part of the beyond-reference training-data
+    set (COVERAGE.md "LLM-data-pipeline operators").
+    """
+    from ..operators.dedup import minhash_lsh_candidates, verify_pairs_jaccard
+
+    cap_cand = minhash_lsh_candidates(
+        images, "image_id", "caption", k=6, band_size=2, shingle_n=3)
+    cap_pairs = verify_pairs_jaccard(
+        cap_cand, images, "image_id", "caption").where(
+        jaccard_den * F.col("n_intersect")
+        >= jaccard_num * F.col("n_union"))
+    ph_pairs = phash_near_dupes(
+        images.select("image_id", "phash"), max_hamming=max_hamming)
+    return cap_pairs.join(ph_pairs, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "hamming", "n_intersect", "n_union")

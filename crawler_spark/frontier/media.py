@@ -337,7 +337,9 @@ def video_near_dupes(
     match sampled keyframes, not full streams): per-video cost is k frame
     hashes, the candidate join is the banded phash equi-join — never
     all-pairs over videos — and the rollup is one (video_a, video_b)
-    count aggregate.  Returns (video_a, video_b, n_frame_matches).
+    count aggregate.  Returns (video_a, video_b, n_frame_matches) with
+    video_a/video_b carrying the input video_id type (string contract;
+    pairs are canonicalized by string order).
     """
     from pyspark.sql import functions as F
 
@@ -348,8 +350,20 @@ def video_near_dupes(
         "phash",
     )
     pairs = phash_near_dupes(frames, max_hamming=max_hamming)
-    va = F.split("id_a", "#")[0].cast("long")
-    vb = F.split("id_b", "#")[0].cast("long")
+
+    # Recover video_id by stripping the LAST '#<digits>' suffix (the
+    # frame_idx we appended) — greedy '.*' keeps any '#' inside the id
+    # itself.  A frame id that doesn't match (only possible if video_id
+    # was NULL, which concat_ws silently drops) fails loudly instead of
+    # silently merging/dropping pairs (ADVICE r04).
+    def _vid(col: str):
+        c = F.col(col)
+        return F.when(
+            c.rlike(r"^.*#\d+$"), F.regexp_extract(c, r"^(.*)#\d+$", 1)
+        ).otherwise(F.raise_error(F.concat(
+            F.lit("video_near_dupes: unrecoverable frame id "), c)))
+
+    va, vb = _vid("id_a"), _vid("id_b")
     return (
         pairs
         .select(F.least(va, vb).alias("video_a"),

@@ -206,6 +206,9 @@ def _py_quote(col):
     return F.replace(e, F.lit("*"), F.lit("%2A"))
 
 
+_SCHEME_NETLOC_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*"
+
+
 def _stdlib_decision_string(url):
     """RobotFileParser.can_fetch's URL normalization, vectorized:
     ``quote(urlunparse(('','', p.path, p.params, p.query, p.fragment)))
@@ -232,13 +235,34 @@ def _stdlib_decision_string(url):
     guarded form wins only when the guard passes for the large majority
     of rows (all-plain 2M-URL corpus: 0.85 s vs 2.25 s unconditional;
     break-even around 5-10 percent special rows)."""
-    scheme_netloc = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*"
-    plain = ~url.rlike(r"[%+?#]") & url.rlike(
-        scheme_netloc + r"[A-Za-z0-9_.~/\-]*$"
-    )
-    raw_path = F.regexp_replace(url, scheme_netloc, "")
+    plain = plain_url_guard(url)
+    raw_path = F.regexp_replace(url, _SCHEME_NETLOC_RE, "")
     fast = F.when(raw_path == "", "/").otherwise(raw_path)
     return F.when(plain, fast).otherwise(_slow_decision_string(url))
+
+
+def plain_url_guard(url):
+    """The fast-path guard predicate of ``_stdlib_decision_string``,
+    exposed for observability: True when the URL needs no normalization
+    (no '%' '+' '?' '#', all-safe path chars)."""
+    return ~url.rlike(r"[%+?#]") & url.rlike(
+        _SCHEME_NETLOC_RE + r"[A-Za-z0-9_.~/\-]*$"
+    )
+
+
+def fast_path_guard_rate(df, url_col: str = "url"):
+    """1-row (n_urls, n_plain, guard_rate) over a URL corpus — the
+    measurement the CaseWhen cliff documented above demands: branch-eval
+    costs ~6x top-level, so the guarded fast path wins only while the
+    large majority of rows pass the guard (break-even ~5-10% special
+    rows).  Run this on a corpus sample before relying on the fast path;
+    a low guard_rate says to switch back to the unconditional chain."""
+    plain = plain_url_guard(F.col(url_col))
+    return df.agg(
+        F.count("*").alias("n_urls"),
+        F.sum(plain.cast("long")).alias("n_plain"),
+        F.round(F.avg(plain.cast("double")), 6).alias("guard_rate"),
+    )
 
 
 def _slow_decision_string(url):

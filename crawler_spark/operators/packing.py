@@ -32,23 +32,29 @@ def pack_sequences(
     n_tokens: Column,
     capacity: int = 512,
     n_buckets: int = 8,
+    partition_extra: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, n_tokens, bucket, bin_id, bin_offset) per input row.
+    """(*partition_extra, id, n_tokens, bucket, bin_id, bin_offset) per
+    input row.
 
     ``n_tokens``: column expression giving the row's token count.
     ``bucket = id % n_buckets`` shards the corpus (at scale n_buckets ≫
     cores, so each bucket's window is partition-local after one
     exchange); ``bin_id``/``bin_offset`` derive from the exclusive
     prefix sum of token counts within the bucket in id order.
+    ``partition_extra``: additional sharding columns prepended to the
+    window partition (e.g. ``("split",)`` packs each train/val/test
+    split independently — bins never span splits).
     """
     kid = F.col(id_col)
     w = (
-        W.partitionBy("bucket")
+        W.partitionBy(*partition_extra, "bucket")
         .orderBy(id_col)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     return (
         df.select(
+            *partition_extra,
             kid,
             n_tokens.cast("bigint").alias("n_tokens"),
             (kid % n_buckets).alias("bucket"),
@@ -57,6 +63,7 @@ def pack_sequences(
             "cum_excl", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
         )
         .select(
+            *partition_extra,
             id_col,
             "n_tokens",
             "bucket",

@@ -228,7 +228,11 @@ def _grouped_candidate_topk(
     kk = max(k + 4, 2 * k)
     EPS = 1e-9  # >> any BLAS-vs-fold float64 cosine discrepancy
     vec_t = c.schema["n_vec"].dataType.simpleString()
-    out_schema = f"q_id long, q_vec {vec_t}, n_id long, n_vec {vec_t}"
+    # q_vec keeps the QUERY side's element type (ADVICE r04: declaring it
+    # with the corpus type would silently coerce q_vec on the prune path
+    # while prune=False preserves the original — borderline-tie drift)
+    qvec_t = q.schema["q_vec"].dataType.simpleString()
+    out_schema = f"q_id long, q_vec {qvec_t}, n_id long, n_vec {vec_t}"
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame({

@@ -1,6 +1,6 @@
 from .registry import (  # noqa: F401
     QUERIES, ORACLES, register, ordered_queries,
-    DRIVER_WINDOW, DRIVER_DEMOTED,
+    DRIVER_WINDOW, DRIVER_DEMOTED, DRIVER_ROTATED,
 )
 
 # Importing the plan modules registers their queries.
@@ -13,3 +13,4 @@ from . import robots_queries  # noqa: F401,E402
 from . import geo_queries  # noqa: F401,E402
 from . import media_queries  # noqa: F401,E402
 from . import sampling_queries  # noqa: F401,E402
+from . import curation_queries  # noqa: F401,E402

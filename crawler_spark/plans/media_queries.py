@@ -148,5 +148,17 @@ def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = min(load_table(spark, sf_dir, "documents").count(), _V_CAP)
     vids = M.videos_table(spark, n, n_frames=_V_FRAMES, fps=_V_FPS)
-    return M.video_near_dupes(vids, k=_V_K, max_hamming=0,
-                              min_matching_frames=2)
+    dupes = M.video_near_dupes(vids, k=_V_K, max_hamming=0,
+                               min_matching_frames=2)
+    # The operator canonicalizes pairs by STRING order (its video_id
+    # contract); this table's ids are numeric, so re-canonicalize by
+    # numeric order to match the oracle's a.vid < b.vid ("10" < "9" as
+    # strings).  Each unordered pair is one row either way, so the
+    # rollup counts are unaffected.
+    a = F.col("video_a").cast("long")
+    b = F.col("video_b").cast("long")
+    return dupes.select(
+        F.least(a, b).alias("video_a"),
+        F.greatest(a, b).alias("video_b"),
+        "n_frame_matches",
+    )

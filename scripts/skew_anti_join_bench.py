@@ -123,7 +123,7 @@ def main() -> None:
     )
     ex = plan.find("Exchange")
     out["partial_agg_before_exchange"] = (
-        ex > 0 and "HashAggregate" in plan[ex:]
+        ex >= 0 and "HashAggregate" in plan[ex:]
     )
     print(json.dumps(out))
 

@@ -152,7 +152,10 @@ def test_video_near_dupes_rollup(spark):
     result is non-empty by construction."""
     n = 300
     vids = M.videos_table(spark, n, n_frames=12, fps=24)
-    got = {(int(r.video_a), int(r.video_b)): int(r.n_frame_matches)
+    # the operator canonicalizes pairs by STRING id order (its contract);
+    # normalize both sides to numeric-sorted unordered pairs
+    got = {tuple(sorted((int(r.video_a), int(r.video_b)))):
+           int(r.n_frame_matches)
            for r in M.video_near_dupes(vids, k=4, max_hamming=0,
                                        min_matching_frames=2).collect()}
     # brute force over the phash vocabulary
@@ -169,6 +172,23 @@ def test_video_near_dupes_rollup(spark):
                 want[(va, vb)] = m
     assert got == want
     assert any(v == 4 for v in got.values())  # the v/v+256 full dups
+
+
+def test_video_near_dupes_string_ids_with_hash(spark):
+    """ADVICE r04: video_id is a STRING contract — ids containing '#'
+    (the internal frame-key separator) must round-trip exactly, not
+    silently cast to NULL and merge/drop pairs."""
+    from pyspark.sql import functions as F
+
+    vids = M.videos_table(spark, 280, n_frames=12, fps=24).withColumn(
+        "video_id", F.concat(F.lit("v#id#"), F.col("video_id")))
+    rows = M.video_near_dupes(vids, k=4, max_hamming=0,
+                              min_matching_frames=2).collect()
+    assert rows, "v/v+256 planted dups must survive string ids"
+    for r in rows:
+        assert r.video_a.startswith("v#id#") and r.video_b.startswith("v#id#")
+        # exact inverse of the planted naming: suffix is the numeric id
+        int(r.video_a[len("v#id#"):]), int(r.video_b[len("v#id#"):])
 
 
 def test_sample_frames_hash_only_matches_full(spark):

@@ -345,3 +345,22 @@ def test_decision_string_fuzz_matches_stdlib(spark):
     mismatches = [(u, got[u], py_norm(u)) for u in urls
                   if got[u] != py_norm(u)]
     assert not mismatches, mismatches[:5]
+
+
+def test_fast_path_guard_rate(spark):
+    """The r04-verdict observability hook: guard_rate must count exactly
+    the rows the fast path serves (no '%+?#', all-safe path chars)."""
+    from crawler_spark.functions.robots import fast_path_guard_rate
+
+    urls = [
+        "https://h0.example/a/b-c_d.html",   # plain
+        "https://h0.example",                # plain (empty path -> '/')
+        "https://h0.example/a?q=1",          # '?'  -> slow
+        "https://h0.example/a%20b",          # '%'  -> slow
+        "https://h0.example/a+b",            # '+'  -> slow
+        "https://h0.example/ä",              # non-safe char -> slow
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    row = fast_path_guard_rate(df).collect()[0]
+    assert row.n_urls == 6 and row.n_plain == 2
+    assert abs(row.guard_rate - 2 / 6) < 1e-6
