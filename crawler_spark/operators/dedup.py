@@ -287,11 +287,15 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Component label per node of the candidate-pair graph.
 
     Returns ``(node, rep)`` where ``rep`` is the minimum id in the node's
-    connected component. Min-label propagation with pointer jumping:
+    connected component.  ``stats`` (optional dict) is filled with
+    ``{"iters": k, "iter_secs": [...]}`` — the per-iteration wall
+    including the driver-side convergence barrier (the scale-probe
+    observability the r04 verdict asked for). Min-label propagation with pointer jumping:
     each iteration takes (a) the min label over graph neighbours and
     (b) the label of the node's own label ("jump"), so label paths halve
     every round and convergence is O(log diameter) iterations, not
@@ -333,7 +337,12 @@ def connected_components(
     # label table; the superseded blocks are released by Spark's
     # ContextCleaner once the (immediately dropped) Python/JVM refs are
     # GC'd, so steady-state storage is O(1) label tables, not O(iters).
+    import time as _time
+
+    if stats is not None:
+        stats["iters"], stats["iter_secs"] = 0, []
     for _ in range(max_iters):
+        _t0 = _time.perf_counter()
         aug = (
             edges
             .union(labels.select(F.col("node").alias("src"),
@@ -358,6 +367,9 @@ def connected_components(
             .limit(1).count()
         )
         labels = new_labels.select("node", "rep")
+        if stats is not None:
+            stats["iters"] += 1
+            stats["iter_secs"].append(round(_time.perf_counter() - _t0, 3))
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
@@ -387,27 +399,64 @@ def ngram_hashes_exploded(
     )
 
 
+# Broadcast ceiling for the eval gram relation (join_mode="auto"): each
+# distinct gram is a 32-char md5 (~56 bytes in the built hash relation),
+# so 10M grams is ~0.5 GB — comfortably under Spark's 8 GB hard broadcast
+# limit but already at the point where building + shipping the hash
+# relation to every executor rivals one shuffle of the eval side, and a
+# driver with default memory settings starts to feel it. Above this the
+# grams flip to a shuffled join: the CORPUS grams then shuffle too (the
+# cost broadcast avoids), which is the right trade only once the eval
+# side stops being "small by nature".
+DECONTAMINATE_BROADCAST_MAX_GRAMS = 10_000_000
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 4,
+    join_mode: str = "broadcast",
 ) -> DataFrame:
     """Per-corpus-doc count of distinct word n-grams shared with the eval
     set: ``(id_col, n_shared)`` — rows only for contaminated docs; filter
     the corpus by anti-joining this result.
 
     Scale: the eval n-gram set is small by nature (benchmarks are
-    thousands of docs, the corpus is billions), so it is broadcast —
-    the corpus-side explode joins map-side with NO shuffle of the corpus
-    grams; the per-doc count aggregates with a map-side partial. Grams
-    are md5'd to fixed width before the join so the broadcast table is
-    compact and engine-portable."""
+    thousands of docs, the corpus is billions), so the default is
+    ``join_mode="broadcast"`` — the corpus-side explode joins map-side
+    with NO shuffle of the corpus grams; the per-doc count aggregates
+    with a map-side partial. Grams are md5'd to fixed width before the
+    join so the broadcast table is compact and engine-portable.
+
+    ``join_mode``:
+      * "broadcast" — eval grams broadcast (default; eval ≪ corpus);
+      * "shuffle"   — plain shuffled equi-join on the gram (both sides
+        exchange; for eval sets past the broadcast ceiling);
+      * "auto"      — count the distinct eval grams (one cheap pass over
+        the SMALL side only) and flip to shuffle above
+        ``DECONTAMINATE_BROADCAST_MAX_GRAMS``.
+
+    Output values are identical in every mode (equality-tested)."""
     tr = ngram_hashes_exploded(corpus, id_col, text_col, n)
     ev = ngram_hashes_exploded(eval_set, id_col, text_col, n).select("_g").distinct()
+    if join_mode == "auto":
+        join_mode = (
+            "broadcast"
+            if ev.count() <= DECONTAMINATE_BROADCAST_MAX_GRAMS
+            else "shuffle"
+        )
+    if join_mode == "broadcast":
+        joined = tr.join(F.broadcast(ev), "_g")
+    elif join_mode == "shuffle":
+        # hint both ways so AQE cannot silently promote the (possibly
+        # huge) eval side back to a broadcast past the documented ceiling
+        joined = tr.hint("shuffle_hash").join(ev.hint("shuffle_hash"), "_g")
+    else:
+        raise ValueError(f"unknown join_mode {join_mode!r}")
     return (
-        tr.join(F.broadcast(ev), "_g")
+        joined
         .groupBy("_id")
         .agg(F.count("*").alias("n_shared"))
         .select(F.col("_id").alias(id_col), "n_shared")

@@ -134,3 +134,33 @@ def test_decontaminate_empty_eval(spark, docs):
     ev = docs.where(F.lit(False))
     tr = docs
     assert decontaminate(tr, ev, "doc_id", "text", n=4).count() == 0
+
+
+def test_decontaminate_join_modes_agree(spark, docs):
+    """The broadcast/shuffle seam (r04 verdict #6): identical values in
+    every join_mode, and 'auto' flips to shuffle above the documented
+    gram ceiling."""
+    import crawler_spark.operators.dedup as dd
+
+    ev = docs.where(F.col("doc_id") == 0)
+    tr = docs.where(F.col("doc_id") != 0)
+    want = {(1, 2), (2, 1), (5, 1)}
+    for mode in ("broadcast", "shuffle", "auto"):
+        got = {(r.doc_id, r.n_shared) for r in decontaminate(
+            tr, ev, "doc_id", "text", n=4, join_mode=mode).collect()}
+        assert got == want, mode
+    with pytest.raises(ValueError):
+        decontaminate(tr, ev, "doc_id", "text", join_mode="nope")
+
+
+def test_decontaminate_auto_flips_above_ceiling(spark, docs, monkeypatch):
+    import crawler_spark.operators.dedup as dd
+
+    ev = docs.where(F.col("doc_id") == 0)   # 2 distinct eval grams
+    tr = docs.where(F.col("doc_id") != 0)
+    monkeypatch.setattr(dd, "DECONTAMINATE_BROADCAST_MAX_GRAMS", 1)
+    df = dd.decontaminate(tr, ev, "doc_id", "text", n=4, join_mode="auto")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan   # flipped to shuffle
+    got = {(r.doc_id, r.n_shared) for r in df.collect()}
+    assert got == {(1, 2), (2, 1), (5, 1)}

@@ -192,3 +192,17 @@ def test_sequence_packing_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_decontaminate_shuffle_mode_has_no_broadcast(spark):
+    """join_mode='shuffle' (past the broadcast gram ceiling) must not let
+    AQE silently promote the eval side back to a broadcast."""
+    from crawler_spark.operators.dedup import decontaminate
+    from crawler_spark.sources.testdata import load_table
+
+    d = load_table(spark, SF, "documents")
+    ev = d.where(F.col("doc_id") % 17 == 3)
+    tr = d.where(F.col("doc_id") % 17 != 3)
+    plan = _plan(decontaminate(tr, ev, "doc_id", "text", n=4,
+                               join_mode="shuffle"))
+    assert "BroadcastHashJoin" not in plan
