@@ -51,6 +51,10 @@ class CrawlState:
     # store persists it so bloom sidecars update incrementally instead of
     # rebuilding from the full seen set every round.
     seen_delta: DataFrame | None = None
+    # rows ADDED to the frontier this round (new links ∪ requeues) — the
+    # incremental scheduler (incremental.py) merges exactly these into
+    # its per-host head index instead of re-ranking the frontier.
+    frontier_delta: DataFrame | None = None
 
 
 def empty_hosts(spark: SparkSession) -> DataFrame:
@@ -161,8 +165,15 @@ def run_round(
     cooldown_rounds: int = 1,
     fetch_plan: str = "broadcast",
     checkpoint_fetched: bool = True,
+    precomputed_batch: DataFrame | None = None,
 ) -> tuple[CrawlState, DataFrame]:
     """Execute one scheduling round (spec steps 1-8). Returns (state', batch).
+
+    ``precomputed_batch``: a batch already scheduled by a caller-side
+    scheduler (incremental.py's head index) — must be value-identical to
+    what ``schedule_batch`` would emit (FRONTIER_COLS + seq). The round's
+    cooldown gate is then the caller's job too (the incremental
+    scheduler takes ``cooldown_hosts``).
 
     ``cooldown_rounds`` is the cross-round politeness interval (G1): a host
     fetched in round r is not eligible again before round r + cooldown.
@@ -179,15 +190,20 @@ def run_round(
     round-1 driver bench (21.3 s vs 6.4 s isolated). Set False for a
     fully-lazy plan (plan-shape tests).
     """
-    frontier_in = state.frontier
-    if cooldown_rounds > 1 and state.hosts is not None:
-        # broadcast the (tiny vs frontier) host-politeness dimension; a
-        # missing host or an elapsed cooldown means eligible.
-        cool = state.hosts.where(
-            F.col("last_fetch_round") + cooldown_rounds > round_no
-        ).select("host_id")
-        frontier_in = frontier_in.join(F.broadcast(cool), "host_id", "left_anti")
-    batch = schedule_batch(frontier_in, round_no, k_per_host, robots=robots)
+    if precomputed_batch is not None:
+        batch = precomputed_batch
+    else:
+        frontier_in = state.frontier
+        if cooldown_rounds > 1 and state.hosts is not None:
+            # broadcast the (tiny vs frontier) host-politeness dimension;
+            # a missing host or an elapsed cooldown means eligible.
+            cool = state.hosts.where(
+                F.col("last_fetch_round") + cooldown_rounds > round_no
+            ).select("host_id")
+            frontier_in = frontier_in.join(
+                F.broadcast(cool), "host_id", "left_anti")
+        batch = schedule_batch(frontier_in, round_no, k_per_host,
+                               robots=robots)
     if checkpoint_fetched:
         # bounded: ≤ k_per_host * active_hosts rows
         batch = batch.localCheckpoint(eager=True)
@@ -305,7 +321,9 @@ def run_round(
 
     return CrawlState(frontier_next, seen_next, hosts_next, state.fetch_log,
                       state.pages, state.dlq, state.metrics,
-                      seen_delta=new_rows.select("url")), batch
+                      seen_delta=new_rows.select("url"),
+                      frontier_delta=new_rows.select(*FRONTIER_COLS)
+                      .unionByName(requeue.select(*FRONTIER_COLS))), batch
 
 
 def run_crawl(

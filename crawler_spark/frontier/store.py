@@ -167,10 +167,19 @@ def run_crawl_checkpointed(
     cooldown_rounds: int = 1,
     images: DataFrame | None = None,
     fetch_plan: str = "broadcast",
+    frontier_mode: str = "full",
 ) -> int:
     """Run (or RESUME) a crawl to ``rounds`` total rounds. Each round reads
     state from the last commit and writes one new commit — a crash between
     commits loses nothing; rerunning is idempotent.
+
+    ``frontier_mode``: "full" schedules with the window over the whole
+    eligible frontier (schedule_batch); "incremental" schedules from the
+    persisted per-host head index (``frontier_head`` state table,
+    incremental.py) — bit-identical batches, no full-frontier window per
+    round (the 10^10-row scale path). A store committed in one mode can
+    resume in the other: the head is (re)built from the frontier
+    snapshot when the table is missing.
 
     ``images``: optional image+caption payload table (images.py schema).
     When given, each round's pages delta carries the binary payload columns
@@ -198,10 +207,30 @@ def run_crawl_checkpointed(
         if use_bloom:
             seen_bloom = _bloom_for_round(
                 store, state, r, bloom_capacity, bloom_buckets)
+        batch_pre, head, fb_hosts = None, None, None
+        if frontier_mode == "incremental":
+            from .incremental import build_head, schedule_incremental
+
+            head_dir = store._dir("frontier_head", r - 1)
+            head = (store.read("frontier_head", r - 1)
+                    if os.path.isdir(head_dir)
+                    else build_head(state.frontier, k_per_host)
+                    .localCheckpoint(eager=True))
+            cool = None
+            if cooldown_rounds > 1:
+                cool = state.hosts.where(
+                    F.col("last_fetch_round") + cooldown_rounds > r
+                ).select("host_id")
+            batch_pre, fb_hosts = schedule_incremental(
+                head, state.frontier, r, k_per_host,
+                robots=robots, cooldown_hosts=cool)
+        elif frontier_mode != "full":
+            raise ValueError(f"unknown frontier_mode {frontier_mode!r}")
         state, batch = run_round(spark, state, web, robots, r, k_per_host,
                                  collect_metrics=False, seen_bloom=seen_bloom,
                                  cooldown_rounds=cooldown_rounds,
-                                 fetch_plan=fetch_plan)
+                                 fetch_plan=fetch_plan,
+                                 precomputed_batch=batch_pre)
         # per-partition lineage (F1/F5): rows per shuffle partition of the
         # batch — the skew signal a 1000-executor operator would alarm on.
         lineage = (
@@ -246,7 +275,7 @@ def run_crawl_checkpointed(
             pages_delta = joined.unionByName(
                 listings, allowMissingColumns=True
             ).unionByName(uncovered, allowMissingColumns=True)
-        store.commit(r, {
+        tables = {
             "frontier": state.frontier,
             "seen": state.seen,
             "hosts": state.hosts,
@@ -255,7 +284,14 @@ def run_crawl_checkpointed(
             "dlq": state.dlq[-1],
             "metrics": metrics,
             "seen_delta": state.seen_delta,
-        }, extra={"k_per_host": k_per_host})
+        }
+        if frontier_mode == "incremental":
+            from .incremental import update_head
+
+            tables["frontier_head"] = update_head(
+                head, state.frontier, batch, state.frontier_delta,
+                fb_hosts.localCheckpoint(eager=True), k_per_host)
+        store.commit(r, tables, extra={"k_per_host": k_per_host})
     return rounds
 
 

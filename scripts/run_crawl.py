@@ -42,6 +42,11 @@ def main() -> None:
                          "table out bucketed by url ONCE (timed "
                          "separately) so every round's join exchanges "
                          "only the batch side")
+    ap.add_argument("--frontier-mode", default="full",
+                    choices=["full", "incremental"],
+                    help="'incremental' schedules from the persisted "
+                         "per-host head index (no full-frontier window "
+                         "per round; bit-identical batches)")
     ap.add_argument("--buckets", type=int, default=64,
                     help="bucket count for --fetch-plan bucketed")
     ap.add_argument("--seeds-file", default=None,
@@ -99,6 +104,7 @@ def main() -> None:
         cooldown_rounds=args.cooldown_rounds,
         images=images,
         fetch_plan=args.fetch_plan,
+        frontier_mode=args.frontier_mode,
     )
     dt = time.perf_counter() - t0
 
