@@ -173,9 +173,13 @@ def schedule_incremental(
     )
     if delays is not None:
         stats = stats.join(F.broadcast(delays), "host_id", "left")
+    # eager (tiny: <= hosts rows): the common steady state is ZERO
+    # fallback hosts, and knowing that lets the round skip the frontier
+    # semi-join branch entirely — the whole point is never touching the
+    # big table on the happy path.
     fallback_hosts = stats.where(
         (F.col("_n_elig") < budget) & (F.col("_incomplete") > 0)
-    ).select("host_id")
+    ).select("host_id").localCheckpoint(eager=True)
 
     okey = _okey()
     w_host = W.partitionBy("host_id").orderBy(*okey)
@@ -194,6 +198,8 @@ def schedule_incremental(
     else:
         batch_head = batch_head.where(F.col("seq") <= k_per_host)
 
+    if fallback_hosts.isEmpty():
+        return batch_head, fallback_hosts
     fb_frontier = frontier.join(F.broadcast(fallback_hosts), "host_id",
                                 "left_semi")
     batch_fb = schedule_batch(fb_frontier, round_no, k_per_host,
@@ -215,10 +221,13 @@ def update_head(
     cap, and rebuild every host named by the starvation guard."""
     cap = head_factor * k_per_host
 
+    # eager (<= cap x hosts rows — head-sized): kept feeds three
+    # consumers (host watermarks, the vanished-host probe, the merge);
+    # without materialization each recomputes the anti-joins.
     kept = (
         head.join(F.broadcast(fallback_hosts), "host_id", "left_anti")
         .join(batch.select("url"), "url", "left_anti")
-    )
+    ).localCheckpoint(eager=True)
     kept_hosts = kept.select("host_id").distinct()
     batch_hosts = batch.select("host_id").distinct()
     # batch hosts whose head emptied: their watermark state died with
@@ -238,10 +247,12 @@ def update_head(
                | (_row_okey_str() < F.col("_host_wm")))
         .select(*FRONTIER_COLS, F.col("_host_wm").alias("_wm"))
     )
+    # eager (head-sized): read by the deficiency probe and the returned
+    # head — and, checkpointed, the store's commit write is a plain copy
     merged = _top_cap(
         kept.unionByName(ins), cap,
         carried_wm=F.col("_wm"), salted=False,
-    )
+    ).localCheckpoint(eager=True)
 
     deficient = merged.groupBy("host_id").agg(
         F.count("*").alias("_n"),
@@ -249,8 +260,12 @@ def update_head(
     ).where(
         (F.col("_incomplete") > 0) & (F.col("_n") < 2 * k_per_host)
     ).select("host_id")
-    rebuild = rebuild1.unionByName(deficient).distinct()
+    rebuild = (rebuild1.unionByName(deficient).distinct()
+               .localCheckpoint(eager=True))
 
+    if rebuild.isEmpty():
+        # steady state: no host touches the frontier at all this round
+        return merged
     rebuilt = _top_cap(
         frontier_next.join(F.broadcast(rebuild), "host_id", "left_semi"),
         cap, F.lit(None).cast("string"), salted=True,

@@ -290,7 +290,7 @@ def run_crawl_checkpointed(
 
             tables["frontier_head"] = update_head(
                 head, state.frontier, batch, state.frontier_delta,
-                fb_hosts.localCheckpoint(eager=True), k_per_host)
+                fb_hosts, k_per_host)
         store.commit(r, tables, extra={"k_per_host": k_per_host})
     return rounds
 
