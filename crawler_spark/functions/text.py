@@ -94,3 +94,46 @@ def min_kgram_fingerprint(text_col_name: str, k: int = 8) -> Column:
         f"array_min(transform(sequence(1, greatest(length({text_col_name}) - {k - 1}, 1)), "
         f"i -> md5(substring({text_col_name}, i, {k}))))"
     )
+
+
+# --- PII scrubbing -----------------------------------------------------
+# Backslash-free patterns (classes use [.]) so the same literal string is
+# valid under Java regex (Spark) and RE2 (DuckDB) with no escape-layer
+# differences. Redaction order matters: emails first (their local parts
+# may contain digit runs), then dotted IPv4 (digit groups <= 3 never trip
+# the long-run phone pattern), then bare 9+-digit runs.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+IPV4_RE = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+PHONE_RE = "[0-9]{9,}"
+
+_PII_RULES = [(EMAIL_RE, "<EMAIL>"), (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>")]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and long digit runs with typed
+    placeholder tokens — the standard pre-training scrub pass. Pure
+    regexp_replace chain: codegen'd, zero shuffles, scan-speed at 100 TB."""
+    out = text
+    for pat, token in _PII_RULES:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """(n_emails, n_ips, n_phones) found in ``text`` — counted on the
+    raw string with the same patterns redact_pii applies, in the same
+    order semantics (counts are independent: an email's digits are not
+    double-counted as phones because the phone count is taken after
+    removing email matches)."""
+    no_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, IPV4_RE, "<IP>")
+    # idx=0 (whole match): Spark's default idx is 1 and errors on
+    # group-free patterns; DuckDB's regexp_extract_all defaults to 0
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(IPV4_RE), 0))
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(no_ip, F.lit(PHONE_RE), 0))
+        .alias("n_phones"),
+    ]

@@ -1,6 +1,6 @@
 from .registry import (  # noqa: F401
     QUERIES, ORACLES, register, ordered_queries,
-    DRIVER_WINDOW, DRIVER_DEMOTED, DRIVER_ROTATED,
+    DRIVER_WINDOW, DRIVER_DEMOTED, DRIVER_ROTATED, DRIVER_TAIL_NEW,
 )
 
 # Importing the plan modules registers their queries.

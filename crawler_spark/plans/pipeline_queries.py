@@ -430,6 +430,118 @@ def blocked_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style repetition quality signals (operators/quality.py): every
+# 7th document is self-concatenated so the corpus contains genuinely
+# repetition-heavy rows for the gate to drop; both engines apply the
+# same augmentation so the oracle checks planted and natural docs alike.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repetition_signals",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
+                               ELSE text END, ' ') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    tc AS (SELECT doc_id, count(*) AS n_tokens,
+                  count(DISTINCT tk) AS n_distinct_tokens
+           FROM tok GROUP BY doc_id),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1]))
+                  AS gram
+           FROM t),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram),
+    ba AS (SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  CAST(max(c) AS BIGINT) AS top_bigram_count,
+                  CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+                    AS dup_bigram_occurrences
+           FROM gc GROUP BY doc_id)
+    SELECT tc.doc_id, n_tokens, n_distinct_tokens, n_bigrams,
+           top_bigram_count, dup_bigram_occurrences,
+           CAST(CASE WHEN n_tokens < 20 THEN 1
+                     WHEN 5 * top_bigram_count <= n_bigrams
+                      AND 10 * (n_tokens - n_distinct_tokens) <= 3 * n_tokens
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM tc JOIN ba USING (doc_id)
+    """,
+)
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import repetition_signals
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat_ws(" ", "text", "text"))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return repetition_signals(aug)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (functions/text.py redact_pii): emails / IPv4 / long digit
+# runs -> typed placeholders. The corpus is letters-only, so each doc is
+# augmented with deterministic synthetic PII (one email, one phone, one
+# IP, parameterized by doc_id) before both engines scrub — counts verify
+# the patterns, the redacted string verifies the replacement chain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pii_redact",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail.example.com or 0'
+                  || lpad(CAST(doc_id * 7919 % 100000000 AS VARCHAR), 8, '0')
+                  || ' at 10.' || (doc_id % 200) || '.0.7 end' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+      len(regexp_extract_all(raw,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS n_emails,
+      len(regexp_extract_all(
+          regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}',
+                         '<EMAIL>', 'g'),
+          '([0-9]{1,3}[.]){3}[0-9]{1,3}')) AS n_ips,
+      len(regexp_extract_all(
+          regexp_replace(
+            regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}',
+                           '<EMAIL>', 'g'),
+            '([0-9]{1,3}[.]){3}[0-9]{1,3}', '<IP>', 'g'),
+          '[0-9]{9,}')) AS n_phones,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}',
+                         '<EMAIL>', 'g'),
+          '([0-9]{1,3}[.]){3}[0-9]{1,3}', '<IP>', 'g'),
+        '[0-9]{9,}', '<PHONE>', 'g') AS redacted
+    FROM t
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail.example.com or 0"),
+        F.lpad((F.col("doc_id") * 7919 % 100000000).cast("string"), 8, "0"),
+        F.lit(" at 10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.7 end"),
+    )
+    return d.select(
+        "doc_id",
+        *TX.pii_counts(raw),
+        TX.redact_pii(raw).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # L — streaming-shaped aggregations over events: tumbling hour + sessions.
 # ---------------------------------------------------------------------------
 

@@ -136,12 +136,21 @@ DRIVER_ROTATED = [
                                # same cogrouped scorer as ivf)
 ]
 
+# Queries REGISTERED late in a round, after that round's window
+# promotions were already chosen: they start at the tail (local oracle
+# harness + pytest evidence only) and are the first candidates to rotate
+# into the window next round.
+DRIVER_TAIL_NEW = [
+    "repetition_signals",  # Gopher-style repetition quality gate
+    "pii_redact",          # email/IP/phone scrub + counts
+]
+
 
 def ordered_queries() -> dict[str, QueryFn]:
     """Registry in driver order: operator-critical queries first (their
     registration order preserved), demoted + rotated queries at the
     tail (rotated first — they're the ones most likely to return)."""
-    tail_names = DRIVER_ROTATED + DRIVER_DEMOTED
+    tail_names = DRIVER_ROTATED + DRIVER_TAIL_NEW + DRIVER_DEMOTED
     missing = [n for n in tail_names if n not in QUERIES]
     if missing:
         raise ValueError(f"tail names not registered: {missing}")

@@ -21,7 +21,8 @@ import os
 
 import __spark_entry__ as entry_mod
 from crawler_spark.plans import (
-    DRIVER_DEMOTED, DRIVER_ROTATED, DRIVER_WINDOW, QUERIES, ordered_queries,
+    DRIVER_DEMOTED, DRIVER_ROTATED, DRIVER_TAIL_NEW, DRIVER_WINDOW, QUERIES,
+    ordered_queries,
 )
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -68,13 +69,16 @@ def _correctness_files() -> list[str]:
 
 
 def test_demoted_names_registered():
-    missing = [n for n in DRIVER_DEMOTED + DRIVER_ROTATED if n not in QUERIES]
+    missing = [n for n in DRIVER_DEMOTED + DRIVER_ROTATED + DRIVER_TAIL_NEW
+               if n not in QUERIES]
     assert not missing, missing
 
 
-def test_no_overlap_between_demoted_and_rotated():
-    both = set(DRIVER_DEMOTED) & set(DRIVER_ROTATED)
-    assert not both, both
+def test_no_overlap_between_tail_lists():
+    lists = [set(DRIVER_DEMOTED), set(DRIVER_ROTATED), set(DRIVER_TAIL_NEW)]
+    for i, a in enumerate(lists):
+        for b in lists[i + 1:]:
+            assert not (a & b), a & b
 
 
 def test_ordered_is_a_permutation():
@@ -93,7 +97,7 @@ def test_demoted_fit_in_tail():
     """Everything non-demoted must fit in the window — if the registry
     grows past DRIVER_WINDOW + len(tail), something critical will
     silently fall out."""
-    tail = len(DRIVER_DEMOTED) + len(DRIVER_ROTATED)
+    tail = len(DRIVER_DEMOTED) + len(DRIVER_ROTATED) + len(DRIVER_TAIL_NEW)
     assert len(QUERIES) - tail <= DRIVER_WINDOW, (
         "registry grew: demote or rotate a query to keep every "
         "operator-covering query inside the driver's 50-entry window")
