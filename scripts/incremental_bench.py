@@ -34,13 +34,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def synth_frontier(spark, n: int, n_hosts: int, rnd: int = 0):
+def synth_frontier(spark, n: int, n_hosts: int, rnd: int = 0,
+                   zipf: bool = False):
     from pyspark.sql import functions as F
 
     from crawler_spark.frontier import spec
 
     p = F.col("id")
-    host = spec.host_id_of_page(p, n_hosts)
+    if zipf:
+        # heavy-head host distribution: u^3 density puts ~10% of rows on
+        # host 0 at n_hosts=1000 (the hot-domain regime the salted
+        # window and the head cap both exist for)
+        u = F.pmod(F.xxhash64(p + rnd * n), F.lit(1_000_000)) / 1_000_000.0
+        host = F.floor(F.lit(n_hosts) * F.pow(u, F.lit(3.0))).cast("int")
+    else:
+        host = spec.host_id_of_page(p, n_hosts)
     return spark.range(n).select(
         spec.url_of(p + rnd * n, host, p % 10 == 0).alias("url"),
         host.alias("host_id"),
@@ -59,6 +67,9 @@ def main() -> None:
     ap.add_argument("--hosts", type=int, default=1000)
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--zipf", action="store_true",
+                    help="heavy-head host distribution (~10%% of rows on "
+                         "the hottest host at 1000 hosts)")
     args = ap.parse_args()
 
     from crawler_spark.session import get_spark
@@ -77,13 +88,14 @@ def main() -> None:
         base = os.path.join(os.getcwd(), "spark-warehouse",
                             f"inc_bench_{n}")
         shutil.rmtree(base, ignore_errors=True)
-        synth_frontier(spark, n, args.hosts).write.parquet(f"{base}/fr")
+        synth_frontier(spark, n, args.hosts, zipf=args.zipf) \
+            .write.parquet(f"{base}/fr")
         fr = spark.read.parquet(f"{base}/fr")
         build_head(fr, args.k).write.parquet(f"{base}/head")  # untimed
         head = spark.read.parquet(f"{base}/head")
         # realistic per-round insert wave: ~4 links per fetched page
         inserts = (synth_frontier(spark, 4 * args.k * args.hosts,
-                                  args.hosts, rnd=1)
+                                  args.hosts, rnd=1, zipf=args.zipf)
                    .localCheckpoint(eager=True))
 
         best = {"full": float("inf"), "incremental": float("inf")}
@@ -109,7 +121,8 @@ def main() -> None:
                      "incremental_s": round(best["incremental"], 2)})
         print(json.dumps(rows[-1]), flush=True)
         shutil.rmtree(base, ignore_errors=True)
-    print(json.dumps({"sweep": rows, "hosts": args.hosts, "k": args.k}))
+    print(json.dumps({"sweep": rows, "hosts": args.hosts, "k": args.k,
+                      "zipf": args.zipf}))
 
 
 if __name__ == "__main__":
