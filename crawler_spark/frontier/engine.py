@@ -61,6 +61,18 @@ def empty_hosts(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], "host_id int, last_fetch_round int")
 
 
+def cooled_hosts(hosts: DataFrame, cooldown_rounds: int,
+                 round_no: int) -> DataFrame:
+    """Hosts still inside the G1 cross-round politeness cooldown at
+    ``round_no`` (1-column host_id). THE single definition of the
+    cooldown boundary — run_round (full mode) and the incremental
+    scheduler (store.py) both gate on this, so the two modes cannot
+    drift apart on the boundary condition."""
+    return hosts.where(
+        F.col("last_fetch_round") + cooldown_rounds > round_no
+    ).select("host_id")
+
+
 def enqueue(
     links: DataFrame,
     seen: DataFrame,
@@ -197,11 +209,10 @@ def run_round(
         if cooldown_rounds > 1 and state.hosts is not None:
             # broadcast the (tiny vs frontier) host-politeness dimension;
             # a missing host or an elapsed cooldown means eligible.
-            cool = state.hosts.where(
-                F.col("last_fetch_round") + cooldown_rounds > round_no
-            ).select("host_id")
             frontier_in = frontier_in.join(
-                F.broadcast(cool), "host_id", "left_anti")
+                F.broadcast(cooled_hosts(state.hosts, cooldown_rounds,
+                                         round_no)),
+                "host_id", "left_anti")
         batch = schedule_batch(frontier_in, round_no, k_per_host,
                                robots=robots)
     if checkpoint_fetched:

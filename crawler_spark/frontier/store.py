@@ -31,10 +31,16 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .engine import FRONTIER_COLS, CrawlState, empty_hosts, enqueue, run_round
+from .engine import (
+    FRONTIER_COLS, CrawlState, cooled_hosts, empty_hosts, enqueue, run_round,
+)
 
 STATE_TABLES = ("frontier", "seen", "hosts")
 DELTA_TABLES = ("fetch_log", "pages", "dlq", "metrics", "seen_delta")
+# derived -> base: a commit rewriting the base without re-deriving the
+# derived table delists the derived entry (it describes state that no
+# longer exists); readers then rebuild it from the base snapshot.
+DERIVED_TABLES = {"frontier_head": "frontier"}
 
 
 class RoundStore:
@@ -83,6 +89,15 @@ class RoundStore:
             prior_tables = prior.get("tables", {})
             prior_extra = {k: v for k, v in prior.items()
                            if k not in ("round", "tables", "committed_at")}
+        # derived-table invalidation: a re-commit that rewrites a base
+        # table (e.g. the seed inbox merging new rows into `frontier`)
+        # must DELIST any derived table built from the old base, or the
+        # next incremental round schedules from a stale head and silently
+        # diverges from schedule_batch (review finding r05)
+        for derived, base in DERIVED_TABLES.items():
+            if base in written and derived in prior_tables \
+                    and derived not in written:
+                del prior_tables[derived]
         manifest = {
             "round": round_no,
             "tables": {**prior_tables, **written},
@@ -105,6 +120,15 @@ class RoundStore:
     def latest_round(self) -> int | None:
         rs = self.committed_rounds()
         return rs[-1] if rs else None
+
+    def has_table(self, table: str, round_no: int) -> bool:
+        """Manifest membership — the ONLY visibility authority. A bare
+        directory can be an orphaned partial write from a crashed
+        commit; trusting os.path.isdir would read truncated state."""
+        if not os.path.exists(self._manifest(round_no)):
+            return False
+        with open(self._manifest(round_no)) as f:
+            return table in json.load(f).get("tables", {})
 
     def read(self, table: str, round_no: int) -> DataFrame:
         return self.spark.read.parquet(self._dir(table, round_no))
@@ -211,16 +235,17 @@ def run_crawl_checkpointed(
         if frontier_mode == "incremental":
             from .incremental import build_head, schedule_incremental
 
-            head_dir = store._dir("frontier_head", r - 1)
+            # manifest membership, NOT isdir: a bare directory can be an
+            # orphaned partial write from a crashed commit, and a seed-
+            # inbox re-commit DELISTS the head (DERIVED_TABLES) so a
+            # frontier merged out-of-band forces a rebuild here
             head = (store.read("frontier_head", r - 1)
-                    if os.path.isdir(head_dir)
+                    if store.has_table("frontier_head", r - 1)
                     else build_head(state.frontier, k_per_host)
                     .localCheckpoint(eager=True))
             cool = None
             if cooldown_rounds > 1:
-                cool = state.hosts.where(
-                    F.col("last_fetch_round") + cooldown_rounds > r
-                ).select("host_id")
+                cool = cooled_hosts(state.hosts, cooldown_rounds, r)
             batch_pre, fb_hosts = schedule_incremental(
                 head, state.frontier, r, k_per_host,
                 robots=robots, cooldown_hosts=cool)

@@ -102,7 +102,10 @@ def min_kgram_fingerprint(text_col_name: str, k: int = 8) -> Column:
 # differences. Redaction order matters: emails first (their local parts
 # may contain digit runs), then dotted IPv4 (digit groups <= 3 never trip
 # the long-run phone pattern), then bare 9+-digit runs.
-EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+# (?i) is valid in both Java regex and RE2; real emails are any-case
+# (review finding r05: a lowercase-only class let Mixed.Case@Example.COM
+# through the scrub)
+EMAIL_RE = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
 IPV4_RE = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
 PHONE_RE = "[0-9]{9,}"
 

@@ -53,8 +53,18 @@ def repetition_signals(
     top_bigram_count, dup_bigram_occurrences, keep (int 0/1).
     Documents with < 2 tokens have no bigrams and are dropped (same
     inner-join semantics as the SQL restatement).
+
+    Tokenization splits on whitespace RUNS (\\s+) and drops empty
+    tokens: real crawled text has newlines/tabs/double spaces, and a
+    single-space split would turn every extra blank into a duplicate
+    '' token that falsely fails the dup-token gate (review finding
+    r05).
     """
-    toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("toks"))
+    toks = docs.select(
+        id_col,
+        F.filter(F.split(F.col(text_col), r"\s+"),
+                 lambda x: x != F.lit("")).alias("toks"),
+    )
 
     tok_stats = (
         toks.select(id_col, F.explode("toks").alias("tk"))

@@ -432,19 +432,32 @@ def blocked_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Gopher-style repetition quality signals (operators/quality.py): every
 # 7th document is self-concatenated so the corpus contains genuinely
-# repetition-heavy rows for the gate to drop; both engines apply the
-# same augmentation so the oracle checks planted and natural docs alike.
+# repetition-heavy rows for the gate to drop, and every (5k+1)th doc has
+# its separators mangled to newline+double-space — the counts must come
+# out IDENTICAL to the single-space form (whitespace-run tokenization);
+# both engines apply the same augmentation so the oracle checks planted
+# and natural docs alike.
 # ---------------------------------------------------------------------------
 
 
 @register(
     "repetition_signals",
     oracle="""
-    WITH t AS (
+    WITH a1 AS (
       SELECT doc_id,
-             string_split(CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
-                               ELSE text END, ' ') AS toks
+             CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
+                  ELSE text END AS aug
       FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(
+               regexp_split_to_array(
+                 CASE WHEN doc_id % 5 = 1
+                      THEN replace(aug, ' ', chr(10) || '  ')
+                      ELSE aug END, '\\s+'),
+               x -> x <> '') AS toks
+      FROM a1
     ),
     tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
     tc AS (SELECT doc_id, count(*) AS n_tokens,
@@ -475,11 +488,13 @@ def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import repetition_signals
 
     d = load_table(spark, sf_dir, "documents")
+    a1 = F.when(F.col("doc_id") % 7 == 0,
+                F.concat_ws(" ", "text", "text")).otherwise(F.col("text"))
     aug = d.select(
         "doc_id",
-        F.when(F.col("doc_id") % 7 == 0,
-               F.concat_ws(" ", "text", "text"))
-        .otherwise(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 5 == 1,
+               F.replace(a1, F.lit(" "), F.lit("\n  ")))
+        .otherwise(a1).alias("text"),
     )
     return repetition_signals(aug)
 
@@ -498,27 +513,27 @@ def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             text || ' contact user' || doc_id || '@mail.example.com or 0'
+             text || ' contact User' || doc_id || '@Mail.example.COM or 0'
                   || lpad(CAST(doc_id * 7919 % 100000000 AS VARCHAR), 8, '0')
                   || ' at 10.' || (doc_id % 200) || '.0.7 end' AS raw
       FROM documents
     )
     SELECT doc_id,
       len(regexp_extract_all(raw,
-          '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS n_emails,
+          '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS n_emails,
       len(regexp_extract_all(
-          regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}',
+          regexp_replace(raw, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}',
                          '<EMAIL>', 'g'),
           '([0-9]{1,3}[.]){3}[0-9]{1,3}')) AS n_ips,
       len(regexp_extract_all(
           regexp_replace(
-            regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}',
+            regexp_replace(raw, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}',
                            '<EMAIL>', 'g'),
             '([0-9]{1,3}[.]){3}[0-9]{1,3}', '<IP>', 'g'),
           '[0-9]{9,}')) AS n_phones,
       regexp_replace(
         regexp_replace(
-          regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}',
+          regexp_replace(raw, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}',
                          '<EMAIL>', 'g'),
           '([0-9]{1,3}[.]){3}[0-9]{1,3}', '<IP>', 'g'),
         '[0-9]{9,}', '<PHONE>', 'g') AS redacted
@@ -528,8 +543,8 @@ def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     raw = F.concat(
-        F.col("text"), F.lit(" contact user"),
-        F.col("doc_id").cast("string"), F.lit("@mail.example.com or 0"),
+        F.col("text"), F.lit(" contact User"),
+        F.col("doc_id").cast("string"), F.lit("@Mail.example.COM or 0"),
         F.lpad((F.col("doc_id") * 7919 % 100000000).cast("string"), 8, "0"),
         F.lit(" at 10."), (F.col("doc_id") % 200).cast("string"),
         F.lit(".0.7 end"),

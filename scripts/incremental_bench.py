@@ -36,24 +36,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def synth_frontier(spark, n: int, n_hosts: int, rnd: int = 0,
                    zipf: bool = False):
+    """``rnd`` > 0 offsets page ids by rnd*10^12 so an insert wave is
+    URL-DISJOINT from any swept frontier size (review finding r05: an
+    offset of rnd*n aliased ~75% of insert urls/hosts/priorities onto
+    existing frontier rows, so update_head was timed merging duplicate
+    urls — a state real crawls exclude via the seen anti-join)."""
     from pyspark.sql import functions as F
 
     from crawler_spark.frontier import spec
 
-    p = F.col("id")
+    p = F.col("id") + rnd * 1_000_000_000_000
     if zipf:
         # heavy-head host distribution: u^3 density puts ~10% of rows on
         # host 0 at n_hosts=1000 (the hot-domain regime the salted
         # window and the head cap both exist for)
-        u = F.pmod(F.xxhash64(p + rnd * n), F.lit(1_000_000)) / 1_000_000.0
+        u = F.pmod(F.xxhash64(p), F.lit(1_000_000)) / 1_000_000.0
         host = F.floor(F.lit(n_hosts) * F.pow(u, F.lit(3.0))).cast("int")
     else:
         host = spec.host_id_of_page(p, n_hosts)
     return spark.range(n).select(
-        spec.url_of(p + rnd * n, host, p % 10 == 0).alias("url"),
+        spec.url_of(p, host, p % 10 == 0).alias("url"),
         host.alias("host_id"),
-        (1 + F.pmod(F.xxhash64(p + rnd * n), F.lit(5))).cast("int")
-        .alias("priority"),
+        (1 + F.pmod(F.xxhash64(p), F.lit(5))).cast("int").alias("priority"),
         F.lit(rnd).cast("int").alias("disc_round"),
         F.lit(0).cast("int").alias("retry_count"),
         F.lit(rnd).cast("int").alias("eligible_round"),
@@ -75,7 +79,7 @@ def main() -> None:
     from crawler_spark.session import get_spark
 
     spark = get_spark(app_name="incremental_bench")
-    from crawler_spark.frontier.engine import schedule_batch
+    from crawler_spark.frontier.engine import FRONTIER_COLS, schedule_batch
     from crawler_spark.frontier.incremental import (
         build_head,
         schedule_incremental,
@@ -110,8 +114,15 @@ def main() -> None:
             batch = batch.localCheckpoint(eager=True)
             assert batch.count() == n_batch
             fb = fb.localCheckpoint(eager=True)
+            # the honest post-round frontier (batch removed, wave added);
+            # only rebuild hosts ever scan it — none in steady state
+            fr_next = (
+                fr.join(batch.select("url"), "url", "left_anti")
+                .select(*FRONTIER_COLS)
+                .unionByName(inserts.select(*FRONTIER_COLS))
+            )
             shutil.rmtree(f"{base}/head2", ignore_errors=True)
-            update_head(head, fr, batch, inserts, fb, args.k) \
+            update_head(head, fr_next, batch, inserts, fb, args.k) \
                 .write.parquet(f"{base}/head2")
             best["incremental"] = min(best["incremental"],
                                       time.perf_counter() - t0)

@@ -177,3 +177,72 @@ def test_resume_across_modes(spark):
     finally:
         shutil.rmtree(root_a, ignore_errors=True)
         shutil.rmtree(root_b, ignore_errors=True)
+
+
+def test_orphan_head_dir_is_invisible(spark, tmp_path):
+    """Manifest membership is the only visibility authority (review
+    finding r05): a frontier_head directory left by a crashed/partial
+    write must be IGNORED — the head is rebuilt from the frontier
+    snapshot, so batches still match full mode."""
+    from crawler_spark.frontier.store import RoundStore, run_crawl_checkpointed
+    from crawler_spark.sources.testdata import load_table
+
+    n_pages = load_table(spark, "/root/testdata/sf0.001", "orders").count()
+    web = synth.web_graph(spark, n_pages, 20)
+    robots = synth.robots_dim(spark, 20)
+    seeds = synth.seed_urls(spark, n_pages, 6, 20)
+
+    logs = {}
+    for mode in ("full", "incremental"):
+        store = RoundStore(spark, str(tmp_path / f"wh_{mode}"))
+        run_crawl_checkpointed(store, web, robots, rounds=1, k_per_host=K,
+                               seeds=seeds)
+        # plant an orphaned TRUNCATED head at round 1 (not in manifest)
+        orphan = build_head(store.read("frontier", 1), K).limit(3)
+        orphan.write.parquet(store._dir("frontier_head", 1))
+        assert not store.has_table("frontier_head", 1)
+        run_crawl_checkpointed(store, web, robots, rounds=3, k_per_host=K,
+                               frontier_mode=mode)
+        logs[mode] = sorted(map(tuple,
+                                store.read_deltas("fetch_log").collect()))
+    assert logs["full"] == logs["incremental"] and len(logs["full"]) > 0
+
+
+def test_seed_inbox_invalidates_head(spark, tmp_path):
+    """An out-of-band frontier merge (streaming seed inbox) DELISTS the
+    committed head (store.DERIVED_TABLES), so the next incremental round
+    rebuilds and schedules the injected seeds exactly like full mode
+    (review finding r05: a stale head starved injected seeds)."""
+    import os
+
+    from crawler_spark.frontier.store import RoundStore, run_crawl_checkpointed
+    from crawler_spark.sources.testdata import load_table
+    from crawler_spark.streaming.rounds import stream_seed_inbox
+
+    n_pages = load_table(spark, "/root/testdata/sf0.001", "orders").count()
+    web = synth.web_graph(spark, n_pages, 20)
+    robots = synth.robots_dim(spark, 20)
+    seeds = synth.seed_urls(spark, n_pages, 4, 20)
+    extra = synth.seed_urls(spark, n_pages, 12, 20)  # supersets seeds
+
+    logs = {}
+    for mode in ("full", "incremental"):
+        root = tmp_path / f"inj_{mode}"
+        store = RoundStore(spark, str(root))
+        run_crawl_checkpointed(store, web, robots, rounds=2, k_per_host=K,
+                               seeds=seeds, frontier_mode=mode)
+        had_head = store.has_table("frontier_head", 2)
+        inbox = str(root / "inbox")
+        os.makedirs(inbox, exist_ok=True)
+        extra.write.parquet(inbox, mode="overwrite")
+        q = stream_seed_inbox(spark, store, robots, inbox, str(root / "ck"))
+        q.awaitTermination(120)
+        if mode == "incremental":
+            assert had_head
+            # the frontier re-commit must have delisted the derived head
+            assert not store.has_table("frontier_head", 2)
+        run_crawl_checkpointed(store, web, robots, rounds=4, k_per_host=K,
+                               frontier_mode=mode)
+        logs[mode] = sorted(map(tuple,
+                                store.read_deltas("fetch_log").collect()))
+    assert logs["full"] == logs["incremental"] and len(logs["full"]) > 0

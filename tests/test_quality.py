@@ -69,6 +69,22 @@ def test_repetition_length_floor(spark):
     assert out == {1: 1, 2: 0}
 
 
+def test_repetition_whitespace_runs(spark):
+    """Newlines / tabs / space runs are ONE separator — counts must
+    equal the single-space form of the same document (review finding
+    r05: a single-space split turned every extra blank into a duplicate
+    '' token and falsely failed the dup-token gate)."""
+    docs = spark.createDataFrame(
+        [(1, "one two three four five"),
+         (2, "one  two\nthree\t four \n\n five")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r
+           for r in repetition_signals(docs, min_tokens=0).collect()}
+    assert tuple(out[1])[1:] == tuple(out[2])[1:]
+    assert (out[2].n_tokens, out[2].n_distinct_tokens) == (5, 5)
+
+
 def test_pii_redact_chain(spark):
     df = spark.createDataFrame(
         [
@@ -79,6 +95,8 @@ def test_pii_redact_chain(spark):
             # an email whose local part is digits must NOT also count
             # as a phone (phone counted after email removal)
             (5, "ping 0123456789@relay.example.net ok"),
+            # real emails are any-case (review finding r05)
+            (6, "write John.Doe@Example.COM today"),
         ],
         ["doc_id", "text"],
     )
@@ -99,3 +117,4 @@ def test_pii_redact_chain(spark):
     assert out[4].red == "clean text with digits 123 and 45.6 only"
     assert (out[5].n_emails, out[5].n_phones) == (1, 0)
     assert out[5].red == "ping <EMAIL> ok"
+    assert (out[6].n_emails, out[6].red) == (1, "write <EMAIL> today")
