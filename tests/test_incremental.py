@@ -246,3 +246,40 @@ def test_seed_inbox_invalidates_head(spark, tmp_path):
         logs[mode] = sorted(map(tuple,
                                 store.read_deltas("fetch_log").collect()))
     assert logs["full"] == logs["incremental"] and len(logs["full"]) > 0
+
+
+def test_payload_crawl_identity_across_modes(spark, tmp_path):
+    """North-rule composition: the image+caption payload crawl commits a
+    byte-identical pages table (including the binary payload column)
+    under both frontier modes."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.frontier import images as I
+    from crawler_spark.frontier.store import RoundStore, run_crawl_checkpointed
+    from crawler_spark.sources.testdata import load_table
+
+    n_pages = load_table(spark, "/root/testdata/sf0.001", "orders").count()
+    web = synth.web_graph(spark, n_pages, 20)
+    robots = synth.robots_dim(spark, 20)
+    seeds = synth.seed_urls(spark, n_pages, 6, 20)
+    imgs = I.images_table(spark, n_pages).localCheckpoint()
+
+    digests = {}
+    for mode in ("full", "incremental"):
+        store = RoundStore(spark, str(tmp_path / f"pay_{mode}"))
+        run_crawl_checkpointed(store, web, robots, rounds=3, k_per_host=K,
+                               seeds=seeds, images=imgs, frontier_mode=mode)
+        rows = sorted(
+            store.read_deltas("pages")
+            .select("round", "url", "kind", "image_id", "caption",
+                    F.md5(F.col("bytes")).alias("payload_md5"))
+            .collect()
+        )
+        h = hashlib.sha256()
+        for r in rows:
+            h.update(repr(tuple(r)).encode())
+        digests[mode] = (len(rows), h.hexdigest())
+    assert digests["full"] == digests["incremental"]
+    assert digests["full"][0] > 0
