@@ -283,3 +283,81 @@ def test_payload_crawl_identity_across_modes(spark, tmp_path):
         digests[mode] = (len(rows), h.hexdigest())
     assert digests["full"] == digests["incremental"]
     assert digests["full"][0] > 0
+
+
+# -- randomized invariant check (hypothesis) --------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _crawl_script(draw):
+    n_hosts = draw(st.integers(2, 4))
+    k = draw(st.integers(1, 3))
+    head_factor = draw(st.integers(1, 2))
+    rows = []
+    for i in range(draw(st.integers(10, 40))):
+        rows.append((f"https://h{draw(st.integers(0, n_hosts - 1))}"
+                     f".synth.test/apa/d/seed-{i}/x.html",
+                     0, draw(st.integers(1, 5)), 0, 0,
+                     draw(st.integers(0, 2))))
+    waves = []
+    for r in range(1, 4):
+        wave = []
+        for j in range(draw(st.integers(0, 12))):
+            wave.append((f"https://h{draw(st.integers(0, n_hosts - 1))}"
+                         f".synth.test/apa/d/w{r}-{j}/x.html",
+                         0, draw(st.integers(1, 5)), r, 0,
+                         r + draw(st.integers(0, 2))))
+        waves.append(wave)
+    requeue_frac = draw(st.sampled_from([0.0, 0.5]))
+    return n_hosts, k, head_factor, rows, waves, requeue_frac
+
+
+def _fix_host(rows):
+    # host_id column must match the url's host for the window partitioning
+    return [(u, int(u.split("https://h")[1].split(".")[0]), p, d, rc, e)
+            for (u, _h, p, d, rc, e) in rows]
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_crawl_script())
+def test_incremental_equivalence_property(spark, script):
+    """Randomized rounds: arbitrary priorities/eligibility, insert waves
+    on arbitrary hosts, and requeues (retry rows with future
+    eligibility) — schedule_incremental must equal schedule_batch
+    every round under any head_factor."""
+    n_hosts, k, head_factor, rows, waves, requeue_frac = script
+    fr = spark.createDataFrame(_fix_host(rows), FRONTIER_COLS) \
+        .dropDuplicates(["url"]).localCheckpoint(eager=True)
+    head = build_head(fr, k, head_factor=head_factor) \
+        .localCheckpoint(eager=True)
+    for r, wave in enumerate(waves, start=1):
+        full = schedule_batch(fr, r, k)
+        inc, fb = schedule_incremental(head, fr, r, k)
+        assert _rows(inc) == _rows(full), f"round {r}"
+        batch = inc.localCheckpoint(eager=True)
+        fb = fb.localCheckpoint(eager=True)
+        ins = spark.createDataFrame(
+            _fix_host(wave), FRONTIER_COLS) if wave else None
+        if requeue_frac and batch.count():
+            req = batch.select(*FRONTIER_COLS).where(
+                F.xxhash64("url") % 2 == 0
+            ).withColumn("retry_count", F.col("retry_count") + 1) \
+             .withColumn("eligible_round", F.lit(r + 1))
+            ins = req if ins is None else ins.unionByName(req)
+        if ins is None:
+            ins = spark.createDataFrame([], fr.schema)
+        ins = ins.localCheckpoint(eager=True)
+        fr = (
+            fr.join(batch.select("url"), "url", "left_anti")
+            .select(*FRONTIER_COLS)
+            .unionByName(ins.select(*FRONTIER_COLS))
+            .dropDuplicates(["url"])
+            .localCheckpoint(eager=True)
+        )
+        head = update_head(head, fr, batch, ins, fb, k,
+                           head_factor=head_factor) \
+            .localCheckpoint(eager=True)
