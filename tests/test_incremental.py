@@ -361,3 +361,23 @@ def test_incremental_equivalence_property(spark, script):
         head = update_head(head, fr, batch, ins, fb, k,
                            head_factor=head_factor) \
             .localCheckpoint(eager=True)
+
+
+def test_derived_table_manifest_semantics(spark, tmp_path):
+    """Unit pin on RoundStore.commit's invalidation rule: rewriting the
+    base (`frontier`) without the derived (`frontier_head`) delists the
+    derived; providing both keeps both; untouched tables survive
+    partial re-commits."""
+    from crawler_spark.frontier.store import RoundStore
+
+    store = RoundStore(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1,)], "x int")
+    store.commit(0, {"frontier": df, "frontier_head": df, "seen": df})
+    assert store.has_table("frontier_head", 0)
+    store.commit(0, {"frontier": df})          # base rewritten alone
+    assert not store.has_table("frontier_head", 0)
+    assert store.has_table("seen", 0)          # untouched table survives
+    store.commit(0, {"frontier": df, "frontier_head": df})
+    assert store.has_table("frontier_head", 0)
+    store.commit(0, {"seen": df})              # non-base re-commit
+    assert store.has_table("frontier_head", 0)
