@@ -490,3 +490,77 @@ def simhash16_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         bit = F.when(F.col(f"_s{i}") > 0, F.lit(2**i)).otherwise(0)
         sh = bit if sh is None else sh + bit
     return sums.select(F.col("_id").alias(id_col), sh.cast("int").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup across the corpus (C4-style span dedup).
+# ---------------------------------------------------------------------------
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Global unit-level exact dedup: segment every document into
+    consecutive ``chunk_tokens``-token chunks (trailing partial chunk
+    kept), drop every chunk whose exact text occurs earlier in the
+    corpus (first occurrence by (id, position) wins), and reassemble
+    each document from its surviving chunks in order — the C4 paper's
+    three-sentence-span dedup, with deterministic token-window
+    segmentation for corpora without sentence punctuation.
+
+    Output: (id_col, n_chunks, n_kept, text_kept) where text_kept is
+    NULL when every chunk of the document was dropped.
+
+    Scale shape: tokenize + chunk are per-row column algebra (one
+    explode to ~n_tokens/chunk_tokens rows); first-wins is ONE shuffle
+    keyed by md5(chunk) — uniformly distributed, no skew; reassembly is
+    one groupBy(id) whose per-group state is bounded by document size.
+    Never all-pairs, nothing driver-side.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    ct = chunk_tokens
+    d = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    n_chunks = F.ceil(F.size("_toks") / F.lit(ct)).cast("int")
+    # sequence(0, -1) would produce a DESCENDING range for empty docs —
+    # guard to an empty array instead.
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice("_toks", i * ct + 1, ct), " ").alias("chunk"),
+        ),
+    )
+    ex = d.select("_id", F.explode(chunks).alias("c")).select(
+        "_id", F.col("c.pos").alias("pos"), F.col("c.chunk").alias("chunk")
+    )
+    w = W.partitionBy(F.md5("chunk")).orderBy("_id", "pos")
+    ranked = ex.withColumn("_first", F.row_number().over(w) == 1)
+    kept_struct = F.when(
+        F.col("_first"), F.struct("pos", "chunk")
+    )  # NULL (skipped by collect_list) for dropped chunks
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.col("_first").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.chunk,
+                ),
+                " ",
+            ).alias("_joined"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_chunks",
+            "n_kept",
+            F.when(F.col("n_kept") > 0, F.col("_joined")).alias("text_kept"),
+        )
+    )

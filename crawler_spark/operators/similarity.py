@@ -503,12 +503,16 @@ def sample_centroids(
     vec_col: str,
     n_cells: int,
     lloyd_iters: int = 1,
+    order_hash=None,
 ) -> np.ndarray:
     """Deterministic, scale-safe centroid init.
 
-    Init: the ``n_cells`` rows with the smallest ``xxhash64(id)``. Hash
-    order is a uniform pseudo-random (yet seedless-deterministic) shuffle
-    of the corpus, and ``orderBy().limit(n)`` compiles to
+    Init: the ``n_cells`` rows with the smallest ``order_hash(id)``
+    (default ``xxhash64``; pass ``F.md5`` on the stringified id when the
+    init order must be replayable by an external engine — md5 hex is
+    bit-identical everywhere, xxhash64 is Spark-only). Hash order is a
+    uniform pseudo-random (yet seedless-deterministic) shuffle of the
+    corpus, and ``orderBy().limit(n)`` compiles to
     TakeOrderedAndProject — a per-partition local top-k merged on the
     driver. No global sort, no single-partition Exchange, no full-corpus
     ``collect()`` (the round-1 form ranked the whole corpus through one
@@ -519,12 +523,15 @@ def sample_centroids(
     only the C x dim means table is collected. Empty cells keep their
     previous centroid.
     """
+    if order_hash is None:
+        order_hash = lambda c: F.xxhash64(c.cast("string"))  # noqa: E731
     rows = (
         corpus.select(
             F.col(vec_col).alias("v"),
-            F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+            order_hash(F.col(id_col)).alias("h"),
+            F.col(id_col).alias("i"),
         )
-        .orderBy("h")
+        .orderBy("h", "i")
         .limit(n_cells)
         .collect()
     )
@@ -567,6 +574,41 @@ def cell_assign_udf(centroids: np.ndarray, nprobe: int = 1):
         return pd.Series([row.astype("int32").tolist() for row in order])
 
     return cells
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    lloyd_iters: int = 1,
+    order_hash=None,
+) -> tuple[DataFrame, np.ndarray]:
+    """K-means cluster assignment over an embedding column — the corpus
+    diversification / semantic-dedup primitive (cluster, then curate
+    within clusters).
+
+    Returns ``(assignments, centroids)``: assignments is
+    ``(id_col, cell:int)`` with ``cell`` the nearest final centroid by
+    cosine (ties -> lowest cell id, matching ``cell_assign_udf``'s
+    stable argsort); centroids is the ``(n_cells, dim)`` float64 array.
+
+    Scale shape: init + each Lloyd step are the ``sample_centroids``
+    passes (TakeOrderedAndProject init, Arrow-batched assignment,
+    ``groupBy(cell, dim).avg`` — only the C x dim means table ever
+    reaches the driver); the final assignment is one more shuffle-free
+    Arrow pass. Total: ``lloyd_iters + 1`` corpus scans, zero corpus
+    shuffles beyond the means aggregation's map-side-combined exchange.
+    """
+    cent = sample_centroids(
+        corpus, id_col, vec_col, n_cells, lloyd_iters, order_hash
+    )
+    assign = cell_assign_udf(cent, nprobe=1)
+    out = corpus.select(
+        F.col(id_col),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+    )
+    return out, cent
 
 
 def ivf_topk(

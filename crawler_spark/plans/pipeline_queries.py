@@ -987,3 +987,184 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rep").alias("rep_id"),
         "cluster_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup (C4-style span dedup): segment docs into 8-token
+# chunks, drop every chunk seen earlier in the corpus (first occurrence by
+# (doc_id, pos) wins), reassemble. One md5(chunk)-keyed shuffle — the C4
+# paper's three-sentence-span dedup with deterministic token windows.
+# ---------------------------------------------------------------------------
+_CHUNK_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS l
+  FROM documents
+), ch AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(l[(i*8+1):(i*8+8)], ' ') AS chunk
+  FROM toks, unnest(range(CAST(ceil(len(l)/8.0) AS BIGINT))) AS u(i)
+), r AS (
+  SELECT doc_id, pos, chunk,
+         (row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos)) = 1 AS keep
+  FROM ch
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos) AS text_kept
+FROM r GROUP BY doc_id
+"""
+
+
+@register("chunk_dedup_docs", oracle=_CHUNK_ORACLE)
+def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.chunk_dedup(d, "doc_id", "text", chunk_tokens=8)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quota cap (RefinedWeb/C4 corpus mixing): keep the top-15 docs
+# per source by quality — salted two-phase window, bit-identical to the
+# single-window form, never serializes a mega-domain into one task.
+# ---------------------------------------------------------------------------
+_QUOTA_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST((CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 3 ELSE 0 END)
+            + (CASE WHEN 10 * len(list_filter(string_split(text, ' '),
+                                              x -> x IN {stop}))
+                    >= len(string_split(text, ' ')) THEN 2 ELSE 0 END)
+            + (CASE WHEN len(string_split(text, ' ')) >= 30
+                    THEN 1 ELSE 0 END) AS INT) AS quality
+  FROM documents
+), r AS (
+  SELECT doc_id, source, quality,
+         CAST(row_number() OVER (PARTITION BY source
+                ORDER BY quality DESC, doc_id) AS INT) AS quota_rank
+  FROM scored
+)
+SELECT doc_id, source, quality, quota_rank FROM r WHERE quota_rank <= 15
+""".format(stop=_STOP_SQL)
+
+
+@register("domain_quota_cap", oracle=_QUOTA_ORACLE)
+def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import quota_cap
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "quality", TX.quality_score(F.col("text"), F.col("n_chars"))
+    )
+    return quota_cap(
+        d, "source", [F.col("quality").desc(), F.col("doc_id")], cap=15
+    ).select("doc_id", "source", "quality", "quota_rank")
+
+
+# ---------------------------------------------------------------------------
+# K-means cluster assignment over embeddings (SemDeDup-style corpus
+# diversification): md5-ordered deterministic init (oracle-replayable),
+# one Lloyd refinement pass, final nearest-centroid assignment. Spark
+# side: TakeOrderedAndProject init + Arrow-batched assignment + one
+# map-side-combined means agg — only the C x dim table reaches the driver.
+# ---------------------------------------------------------------------------
+_KM_MEANS_SQL = ", ".join(f"AVG(embedding[{i}]::DOUBLE)" for i in range(1, 65))
+_KM_CTES = """e AS (SELECT vec_id, embedding FROM embeddings),
+h AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+  FROM e
+), init AS (
+  SELECT cell, list_transform(embedding, x -> x::DOUBLE) AS cent
+  FROM h WHERE cell < 10
+), a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, i.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(
+               list_transform(e.embedding, x -> x::DOUBLE), i.cent) DESC,
+             i.cell) AS rn
+    FROM e CROSS JOIN init i
+  ) WHERE rn = 1
+), m AS (
+  SELECT a0.cell, list_value({means}) AS cent
+  FROM a0 JOIN e USING (vec_id) GROUP BY a0.cell
+), fin AS (
+  SELECT i.cell, COALESCE(m.cent, i.cent) AS cent
+  FROM init i LEFT JOIN m ON i.cell = m.cell
+), a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, f.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(
+               list_transform(e.embedding, x -> x::DOUBLE), f.cent) DESC,
+             f.cell) AS rn
+    FROM e CROSS JOIN fin f
+  ) WHERE rn = 1
+)""".format(means=_KM_MEANS_SQL)
+
+_KM_ORACLE = (
+    "WITH " + _KM_CTES + """
+SELECT vec_id, CAST(cell AS INT) AS cell,
+       CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
+FROM a1
+"""
+)
+
+def _km_assign(spark: SparkSession, sf_dir: str):
+    e = load_table(spark, sf_dir, "embeddings")
+    return e, SIM.kmeans_assign(
+        e, "vec_id", "embedding", n_cells=10, lloyd_iters=1,
+        order_hash=lambda c: F.md5(c.cast("string")),
+    )
+
+
+@register("kmeans_cells", oracle=_KM_ORACLE)
+def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, (asg, _cent) = _km_assign(spark, sf_dir)
+    return asg.select(
+        "vec_id", "cell",
+        F.count("*").over(W.partitionBy("cell")).cast("long")
+        .alias("cell_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic diversification (SemDeDup keep-most-central): within each
+# k-means cell keep the 20 vectors most similar to the final centroid —
+# composition of kmeans_assign + the salted quota_cap window. Output is
+# integer-only (rank, not sim) so the hash is FP-noise-immune.
+# ---------------------------------------------------------------------------
+_DIVERSIFY_ORACLE = (
+    "WITH " + _KM_CTES + """, sims AS (
+  SELECT a1.vec_id, a1.cell,
+         list_cosine_similarity(
+           list_transform(e.embedding, x -> x::DOUBLE), f.cent) AS sim
+  FROM a1 JOIN e USING (vec_id) JOIN fin f ON a1.cell = f.cell
+), rk AS (
+  SELECT vec_id, cell,
+         CAST(row_number() OVER (PARTITION BY cell
+                ORDER BY sim DESC, vec_id) AS INT) AS quota_rank
+  FROM sims
+)
+SELECT vec_id, CAST(cell AS INT) AS cell, quota_rank
+FROM rk WHERE quota_rank <= 20
+"""
+)
+
+
+@register("semantic_diversify", oracle=_DIVERSIFY_ORACLE)
+def semantic_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import quota_cap
+
+    e, (asg, cent) = _km_assign(spark, sf_dir)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cent)],
+        "cell int, cent array<double>",
+    )
+    scored = (
+        e.join(asg, "vec_id")
+        .join(F.broadcast(cent_df), "cell")
+        .withColumn("sim", SIM.cosine(F.col("embedding"), F.col("cent")))
+    )
+    return quota_cap(
+        scored, "cell", [F.col("sim").desc(), F.col("vec_id")], cap=20
+    ).select("vec_id", "cell", "quota_rank")

@@ -143,6 +143,10 @@ DRIVER_ROTATED = [
 DRIVER_TAIL_NEW = [
     "repetition_signals",  # Gopher-style repetition quality gate
     "pii_redact",          # email/IP/phone scrub + counts
+    "chunk_dedup_docs",    # C4-style chunk-level exact dedup + reassembly
+    "domain_quota_cap",    # RefinedWeb-style per-source quota (salted)
+    "kmeans_cells",        # k-means assignment (md5 init, 1 Lloyd pass)
+    "semantic_diversify",  # SemDeDup keep-most-central per cell
 ]
 
 
