@@ -206,3 +206,39 @@ def test_decontaminate_shuffle_mode_has_no_broadcast(spark):
     plan = _plan(decontaminate(tr, ev, "doc_id", "text", n=4,
                                join_mode="shuffle"))
     assert "BroadcastHashJoin" not in plan
+
+
+def test_quota_cap_is_salted_two_phase(spark):
+    """The domain cap's first window partitions by (key, salt) — a
+    mega-domain spreads over salt_buckets tasks; a plain single window
+    would show only hashpartitioning(source) without the salt column."""
+    df = QUERIES["domain_quota_cap"](spark, SF)
+    plan = _plan(df)
+    assert "__salt" in plan                       # phase-1 salt exchange
+    assert "rangepartitioning" not in plan        # never a global sort
+    assert "BatchEvalPython" not in plan          # pure column algebra
+
+
+def test_chunk_dedup_no_python_and_no_global_sort(spark):
+    """Chunk dedup is native column algebra end-to-end: one md5(chunk)
+    window exchange + one per-doc agg exchange; no Python eval, no
+    single-partition sort anywhere."""
+    df = QUERIES["chunk_dedup_docs"](spark, SF)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_kmeans_assign_is_arrow_vectorized(spark):
+    """The assignment pass is an Arrow-batched pandas UDF (one matmul
+    per batch), never a row-at-a-time Python UDF."""
+    from crawler_spark.operators.similarity import kmeans_assign
+
+    e = load_table(spark, SF, "embeddings")
+    asg, _ = kmeans_assign(e, "vec_id", "embedding", n_cells=4,
+                           lloyd_iters=0)
+    plan = _plan(asg)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # assignment itself is shuffle-free
