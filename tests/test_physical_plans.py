@@ -242,3 +242,20 @@ def test_kmeans_assign_is_arrow_vectorized(spark):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # assignment itself is shuffle-free
+
+
+def test_lloyd_means_udf_evaluates_once_per_row(spark):
+    """The Lloyd means pass must pin the assignment UDF BELOW the
+    posexplode Generate — merged into one projection, Spark extracts the
+    UDF above the Generate and evaluates it once per exploded element
+    (dim x per vector; measured 18x slower at 100k x 64)."""
+    import numpy as np
+    from crawler_spark.operators.similarity import _lloyd_means
+
+    e = load_table(spark, SF, "embeddings")
+    cent = np.eye(4, 64)
+    plan = _plan(_lloyd_means(e, "embedding", cent))
+    assert plan.count("ArrowEvalPython") == 1
+    # toString prints top-down; execution is bottom-up. The UDF must
+    # execute BEFORE the Generate, i.e. appear after it in the string.
+    assert plan.find("Generate") < plan.find("ArrowEvalPython")
