@@ -227,6 +227,69 @@ def images_table(
     return rng.mapInPandas(gen, IMAGES_SCHEMA)
 
 
+def mixed_dims_of(image_id: int) -> tuple[int, int]:
+    """Per-id (w, h) for the mixed-size corpus — pure id arithmetic so a
+    SQL oracle restates it: w in {16..48}, h in {16..64}, both multiples
+    of 8 (the phash block size). Aspect ratios span 1:4 .. 3:1, so
+    LAION-style resolution/aspect gates have real work to do."""
+    return 16 + (image_id % 5) * 8, 16 + (image_id % 7) * 8
+
+
+def images_table_mixed(
+    spark: SparkSession,
+    n_images: int,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Mixed-dimensions image+caption table: same schema/codecs as
+    ``images_table`` but (w, h) vary per row (``mixed_dims_of``) — the
+    realistic web-crawl shape where no two fetched images agree on size.
+    Exercises the (w, h)-grouped Arrow batching every decode-side
+    operator (verify/resize/features) already implements.  Generation
+    stays one vectorized numpy pass per (w, h) group per batch."""
+
+    # struct.Struct doesn't pickle — capture only the format string and
+    # magics; headers are packed per (w, h) group inside the task
+    hdr_fmt, magic_raw, magic_q6 = HEADER.format, MAGIC_RAW, MAGIC_Q6
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            w_all = 16 + (ids % 5) * 8
+            h_all = 16 + (ids % 7) * 8
+            out_frames = []
+            for key in np.unique(w_all * 1000 + h_all):
+                sel = (w_all * 1000 + h_all) == key
+                gids = ids[sel]
+                w, h = int(key // 1000), int(key % 1000)
+                px = _pixels_batch(gids, w, h)
+                ph = _phash_batch(px)
+                q = (px >> 2).astype(np.uint8)
+                caps = _captions_batch(gids)
+                hdr_raw = struct.pack(hdr_fmt, magic_raw, w, h, 0)
+                hdr_q6 = struct.pack(hdr_fmt, magic_q6, w, h, 0)
+                rows = []
+                for j, image_id in enumerate(gids):
+                    image_id = int(image_id)
+                    if image_id % 3 == 0:
+                        fmt, body = "qrgb6", hdr_q6 + q[j].tobytes()
+                    else:
+                        fmt, body = "rgb8", hdr_raw + px[j].tobytes()
+                    rows.append(
+                        (str(image_id), body, w, h, fmt, caps[j], int(ph[j]))
+                    )
+                out_frames.append(pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                                   "caption", "phash"]))
+            yield pd.concat(out_frames) if out_frames else pd.DataFrame(
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption",
+                         "phash"])
+
+    rng = spark.range(0, n_images,
+                      numPartitions=partitions
+                      or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, IMAGES_SCHEMA)
+
+
 def verify_payload(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
     """Decode every row and check the input-hint invariant: decoded-pixel
     PSNR >= 40 dB for lossy formats (bit-exact for lossless) + caption

@@ -14,3 +14,4 @@ from . import geo_queries  # noqa: F401,E402
 from . import media_queries  # noqa: F401,E402
 from . import sampling_queries  # noqa: F401,E402
 from . import curation_queries  # noqa: F401,E402
+from . import image_queries  # noqa: F401,E402

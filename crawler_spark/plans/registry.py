@@ -147,6 +147,10 @@ DRIVER_TAIL_NEW = [
     "domain_quota_cap",    # RefinedWeb-style per-source quota (salted)
     "kmeans_cells",        # k-means assignment (md5 init, 1 Lloyd pass)
     "semantic_diversify",  # SemDeDup keep-most-central per cell
+    "image_filter_stats",  # LAION-style resolution/aspect gate stats
+    "image_packing",       # byte-capacity bin packing (tar-shard plan)
+    "image_exact_dedup",   # first-wins md5(bytes) payload dedup
+    "image_curation_e2e",  # image-leg curation composition, one oracle
 ]
 
 

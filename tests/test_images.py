@@ -183,3 +183,29 @@ def test_captions_batch_equals_scalar():
 
     ids = np.array([0, 1, 7, 255, 256, 257, 511, 999, 12345])
     assert _captions_batch(ids) == [caption_of(int(i)) for i in ids]
+
+
+def test_mixed_dims_table_invariants(spark):
+    """images_table_mixed: per-row (w, h) follows mixed_dims_of exactly,
+    payload length is 12 + w*h*3 for both codecs, and the PSNR/caption/
+    phash invariants hold across every (w, h) group (the grouped Arrow
+    batching path that fixed-size tables never exercise)."""
+    n = 350
+    df = I.images_table_mixed(spark, n).localCheckpoint()
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] \
+        == [(f.name, f.dataType.simpleString())
+            for f in I.images_table(spark, 1, w=8, h=8).schema.fields]
+    rows = {int(r["image_id"]): r for r in df.collect()}
+    assert len(rows) == n
+    dims = set()
+    for i, r in rows.items():
+        w, h = I.mixed_dims_of(i)
+        assert (r["w"], r["h"]) == (w, h), i
+        assert len(r["bytes"]) == 12 + w * h * 3, i
+        assert r["fmt"] == ("qrgb6" if i % 3 == 0 else "rgb8"), i
+        dims.add((w, h))
+    assert len(dims) == 35  # all 5 x 7 (w, h) classes materialize
+    v = I.verify_payload(df)
+    bad = v.where((F.col("psnr_db") < 40.0) | ~F.col("caption_ok")
+                  | ~F.col("phash_ok")).count()
+    assert bad == 0
