@@ -459,6 +459,37 @@ def image_features(images: DataFrame, grid: int = 8) -> DataFrame:
     return images.mapInPandas(feat, "image_id string, embedding array<float>")
 
 
+def anchor_colors(images: DataFrame) -> DataFrame:
+    """Decode -> per-image anchor color: the decoded (0, 0) pixel's
+    (r, g, b), the value the synthetic caption's "dominant rgb (r,g,b)"
+    clause claims (``caption_of``).  The decode-side half of the
+    CLIP-score-style caption<->image alignment gate
+    (plans/image_queries.py::caption_align_filter): Python touches ONLY
+    the codec boundary (one `_decode` per buffer, so real codecs behind
+    the seam keep working); caption parsing and the tolerance compare
+    stay JVM-native in the query.  Input needs (image_id, bytes) plus
+    any passthrough columns; output replaces `bytes` with r0/g0/b0.
+
+    Reference analogue: none — the reference stores bytes and captions
+    without ever checking they agree (file_storage.py:279-293); this is
+    the multimodal-consistency filter a LAION-style pipeline runs."""
+    passthrough = [c for c in images.columns if c != "bytes"]
+
+    def anchor(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = [_decode(bytes(b))[0, 0] for b in pdf["bytes"]]
+            a = (np.stack(px) if px
+                 else np.zeros((0, 3), dtype=np.uint8)).astype(np.int32)
+            out = pdf[passthrough].copy()
+            out["r0"], out["g0"], out["b0"] = a[:, 0], a[:, 1], a[:, 2]
+            yield out
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in images.schema.fields if f.name != "bytes")
+    return images.mapInPandas(anchor, f"{fields}, r0 int, g0 int, b0 int")
+
+
 def cross_modal_dupes(
     images: DataFrame,
     max_hamming: int = 6,

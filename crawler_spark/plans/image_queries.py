@@ -362,3 +362,189 @@ def image_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split", "src", "image_id", "quota_rank", "fmt",
         F.length("bytes").cast("bigint").alias("payload_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# caption_align_filter — CLIP-score-style caption<->image consistency gate
+# ---------------------------------------------------------------------------
+
+_AL_SWAP = 11   # ids with id % 11 == 7 get the NEXT image's caption
+_AL_TOL = 2     # qrgb6 bin-center error is <= 2 per channel
+
+
+@register(
+    "caption_align_filter",
+    oracle=f"""
+    WITH {_MIX_IMGS_SQL},
+    probe AS (
+      SELECT image_id, fmt,
+             CASE WHEN image_id % {_AL_SWAP} = 7
+                  THEN image_id + 1 ELSE image_id END AS src
+      FROM imgs
+    ),
+    ch AS (
+      SELECT image_id, fmt,
+             CAST((7 * src) % 256 AS INT) AS claim_r,
+             CAST((13 * src) % 256 AS INT) AS claim_g,
+             CAST(src % 256 AS INT) AS claim_b,
+             (7 * image_id) % 256 AS vr,
+             (13 * image_id) % 256 AS vg,
+             image_id % 256 AS vb
+      FROM probe
+    ),
+    dec AS (
+      SELECT image_id, fmt, claim_r, claim_g, claim_b,
+             CAST(CASE WHEN fmt = 'qrgb6' THEN (vr // 4) * 4 + 2 ELSE vr END
+                  AS INT) AS r0,
+             CAST(CASE WHEN fmt = 'qrgb6' THEN (vg // 4) * 4 + 2 ELSE vg END
+                  AS INT) AS g0,
+             CAST(CASE WHEN fmt = 'qrgb6' THEN (vb // 4) * 4 + 2 ELSE vb END
+                  AS INT) AS b0
+      FROM ch
+    )
+    SELECT image_id, fmt, claim_r, claim_g, claim_b, r0, g0, b0,
+           CAST(GREATEST(ABS(r0 - claim_r), ABS(g0 - claim_g),
+                         ABS(b0 - claim_b)) AS INT) AS color_delta,
+           GREATEST(ABS(r0 - claim_r), ABS(g0 - claim_g),
+                    ABS(b0 - claim_b)) <= {_AL_TOL} AS aligned
+    FROM dec
+    """,
+)
+def caption_align_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption<->image alignment gate (the CLIP-score filter of a
+    LAION-style pipeline, made exact): decode each payload's anchor
+    pixel (`images.anchor_colors` — Python touches only the codec
+    boundary), parse the caption's claimed "dominant rgb (r,g,b)" with
+    a NATIVE regexp_extract, and keep rows whose decoded color is
+    within the codec's quantization tolerance. Rows with id % 11 == 7
+    carry the NEXT image's caption (planted mismatch — analyst swap
+    bug), so the gate has real work: every planted row must read
+    aligned=false (channel deltas >= 7 - tolerance), every honest row
+    aligned=true (rgb8 exact, qrgb6 within +-2 bin-center error).
+
+    Scale shape: one pipelined mapInPandas decode (no shuffle), then
+    pure codegen'd column algebra — scan-speed over a 100 TB payload
+    table, with `bytes` dropped the moment the anchor is extracted.
+
+    Reference parity: none — the reference never cross-checks stored
+    bytes against captions (file_storage.py:279-293)."""
+    imgs = I.images_table_mixed(
+        spark,
+        min(load_table(spark, sf_dir, "documents").count() * 2, _MIX_CAP),
+    )
+    iid = F.col("image_id").cast("long")
+    src = F.when(iid % _AL_SWAP == 7, iid + 1).otherwise(iid)
+    probe = imgs.select(
+        iid.alias("image_id"), "fmt", "bytes",
+        # planted swap: rebuild caption_of(id+1) natively; honest rows
+        # keep the TABLE caption (so the regex parses produced data)
+        F.when(
+            iid % _AL_SWAP == 7,
+            F.format_string(
+                "synthetic photo %d: dominant rgb (%d,%d,%d)",
+                src, (7 * src) % 256, (13 * src) % 256, src % 256),
+        ).otherwise(F.col("caption")).alias("caption"),
+    )
+    anchored = I.anchor_colors(probe)
+    pat = r"rgb \((\d+),(\d+),(\d+)\)"
+    claim = [
+        F.regexp_extract("caption", pat, i + 1).cast("int").alias(n)
+        for i, n in enumerate(["claim_r", "claim_g", "claim_b"])
+    ]
+    parsed = anchored.select("image_id", "fmt", "r0", "g0", "b0", *claim)
+    delta = F.greatest(
+        F.abs(F.col("r0") - F.col("claim_r")),
+        F.abs(F.col("g0") - F.col("claim_g")),
+        F.abs(F.col("b0") - F.col("claim_b")),
+    )
+    return parsed.select(
+        "image_id", "fmt", "claim_r", "claim_g", "claim_b",
+        "r0", "g0", "b0",
+        delta.cast("int").alias("color_delta"),
+        (delta <= _AL_TOL).alias("aligned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# image_aspect_buckets — SDXL-style aspect-ratio bucketed batch planning
+# ---------------------------------------------------------------------------
+
+# (bucket_w : bucket_h) aspect targets; lcm of the bh values is 12, so
+# |w*bh - h*bw| * (12 / bh) compares |w/h - bw/bh| EXACTLY across
+# buckets in integers (common factor 1/(12*h) > 0 dropped)
+_AB_BUCKETS = [(1, 2), (3, 4), (1, 1), (4, 3), (2, 1)]
+_AB_SHARDS = 8
+_AB_BATCH = 4
+
+_AB_SCORES_SQL = ", ".join(
+    f"ABS(w * {bh} - h * {bw}) * {12 // bh} AS s{i}"
+    for i, (bw, bh) in enumerate(_AB_BUCKETS))
+_AB_ARGMIN_SQL = (
+    "CASE " + " ".join(
+        f"WHEN s{i} = LEAST(s0, s1, s2, s3, s4) THEN {i}"
+        for i in range(len(_AB_BUCKETS))) + " END")
+
+
+@register(
+    "image_aspect_buckets",
+    oracle=f"""
+    WITH {_MIX_IMGS_SQL},
+    gated AS (
+      SELECT image_id, w, h, {_AB_SCORES_SQL}
+      FROM imgs
+      WHERE LEAST(w, h) >= {_MIN_SIDE} AND 2 * w >= h AND 2 * h >= w
+    ),
+    bkt AS (
+      SELECT image_id, w, h,
+             CAST({_AB_ARGMIN_SQL} AS INT) AS bucket_idx,
+             CAST(image_id % {_AB_SHARDS} AS INT) AS shard
+      FROM gated
+    ),
+    seq AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket_idx, shard
+                                   ORDER BY image_id) - 1 AS rn
+      FROM bkt
+    )
+    SELECT image_id, w, h, bucket_idx, shard,
+           CAST(rn // {_AB_BATCH} AS INT) AS batch_id,
+           CAST(rn % {_AB_BATCH} AS INT) AS seq_in_batch
+    FROM seq
+    """,
+)
+def image_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL-style aspect-ratio bucketed batch planning: every gated
+    image is assigned the nearest aspect bucket (argmin over
+    cross-multiplied integer distances — exact, no FP ratios; ties go
+    to the lowest index) and then a deterministic (batch_id,
+    seq_in_batch) within its (bucket, shard) — the plan a training
+    loader needs so each batch resizes to ONE canvas shape.
+
+    Scale shape: bucket assignment is pure codegen'd column algebra;
+    the only exchange is the (bucket_idx, shard) window, and the shard
+    axis (id % {_AB_SHARDS}) keeps partition count proportional to
+    data — never a 5-partition window at 100 TB (same discipline as
+    operators/packing.py)."""
+    gated = _mixed_corpus(spark, sf_dir).where(_aspect_keep()) \
+        .select("image_id", "w", "h")
+    w, h = F.col("w"), F.col("h")
+    scores = [
+        (F.abs(w * bh - h * bw) * (12 // bh)).alias(f"s{i}")
+        for i, (bw, bh) in enumerate(_AB_BUCKETS)
+    ]
+    scored = gated.select("image_id", "w", "h", *scores)
+    m = F.least(*[F.col(f"s{i}") for i in range(len(_AB_BUCKETS))])
+    idx = F.when(F.col("s0") == m, 0)
+    for i in range(1, len(_AB_BUCKETS)):
+        idx = idx.when(F.col(f"s{i}") == m, i)
+    from pyspark.sql import Window
+    win = Window.partitionBy("bucket_idx", "shard").orderBy("image_id")
+    bkt = scored.select(
+        "image_id", "w", "h",
+        idx.cast("int").alias("bucket_idx"),
+        (F.col("image_id") % _AB_SHARDS).cast("int").alias("shard"),
+    )
+    return bkt.withColumn("rn", F.row_number().over(win) - 1).select(
+        "image_id", "w", "h", "bucket_idx", "shard",
+        F.expr(f"cast(rn div {_AB_BATCH} as int)").alias("batch_id"),
+        (F.col("rn") % _AB_BATCH).cast("int").alias("seq_in_batch"),
+    )

@@ -151,6 +151,8 @@ DRIVER_TAIL_NEW = [
     "image_packing",       # byte-capacity bin packing (tar-shard plan)
     "image_exact_dedup",   # first-wins md5(bytes) payload dedup
     "image_curation_e2e",  # image-leg curation composition, one oracle
+    "caption_align_filter",   # CLIP-style caption<->pixel alignment gate
+    "image_aspect_buckets",   # SDXL aspect-bucketed batch planning
 ]
 
 

@@ -209,3 +209,43 @@ def test_mixed_dims_table_invariants(spark):
     bad = v.where((F.col("psnr_db") < 40.0) | ~F.col("caption_ok")
                   | ~F.col("phash_ok")).count()
     assert bad == 0
+
+
+def test_anchor_colors_exact_and_passthrough(spark):
+    """anchor_colors: decoded (0,0) pixel matches the arithmetic form
+    per codec, passthrough columns survive, bytes is dropped."""
+    df = I.images_table_mixed(spark, 60)
+    out = I.anchor_colors(df.select("image_id", "fmt", "caption", "bytes"))
+    assert out.columns == ["image_id", "fmt", "caption", "r0", "g0", "b0"]
+    for r in out.collect():
+        i = int(r["image_id"])
+        want = [(7 * i) % 256, (13 * i) % 256, i % 256]
+        if i % 3 == 0:  # qrgb6 bin centers
+            want = [(v // 4) * 4 + 2 for v in want]
+        assert [r["r0"], r["g0"], r["b0"]] == want, i
+        assert r["caption"] == I.caption_of(i)
+
+
+def test_aspect_bucket_argmin_matches_bruteforce(spark):
+    from crawler_spark.plans.image_queries import (
+        _AB_BUCKETS, _MIN_SIDE, image_aspect_buckets,
+    )
+    got = {int(r["image_id"]): r["bucket_idx"]
+           for r in image_aspect_buckets(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert got  # gate keeps a non-trivial subset
+    for i, b in got.items():
+        w, h = I.mixed_dims_of(i)
+        assert min(w, h) >= _MIN_SIDE and 2 * w >= h and 2 * h >= w
+        scores = [abs(w * bh - h * bw) * (12 // bh)
+                  for (bw, bh) in _AB_BUCKETS]
+        assert b == scores.index(min(scores)), (i, w, h, scores)
+    # exact-aspect pins: 1:2, 3:4, 1:1, 4:3, 2:1 all materialize
+    pinned = {(16, 32): 0, (24, 32): 1, (32, 32): 2, (32, 24): 3,
+              (48, 24): 4}
+    seen = {}
+    for i, b in got.items():
+        seen[I.mixed_dims_of(i)] = b
+    for dims, want in pinned.items():
+        if dims in seen:
+            assert seen[dims] == want, dims

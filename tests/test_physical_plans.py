@@ -259,3 +259,25 @@ def test_lloyd_means_udf_evaluates_once_per_row(spark):
     # toString prints top-down; execution is bottom-up. The UDF must
     # execute BEFORE the Generate, i.e. appear after it in the string.
     assert plan.find("Generate") < plan.find("ArrowEvalPython")
+
+
+def test_caption_align_is_shuffle_free_scan(spark):
+    """The alignment gate is a pipelined map chain: decode via
+    mapInPandas (the codec boundary), regex/compare codegen'd — zero
+    exchanges, zero row-at-a-time Python."""
+    from crawler_spark.plans.image_queries import caption_align_filter
+
+    plan = _plan(caption_align_filter(spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 2  # generator + anchor decode
+
+
+def test_aspect_buckets_single_window_exchange(spark):
+    """Batch planning pays exactly ONE exchange (the (bucket, shard)
+    window); assignment itself is pure column algebra."""
+    from crawler_spark.plans.image_queries import image_aspect_buckets
+
+    plan = _plan(image_aspect_buckets(spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
