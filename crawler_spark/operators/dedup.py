@@ -115,39 +115,66 @@ def minhash_lsh_candidates(
     k: int = 6,
     band_size: int = 2,
     shingle_n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a, b) with a < b.
 
     signatures (narrow) -> explode to (id, band_idx, band_key) -> self
     equi-join on the band. The join key includes band_idx so the shuffle
     partitioner spreads bands; at scale the band tables are bucketable.
+
+    ``hash_family``:
+
+    * ``"md5"`` (default) — 2 md5s per shingle, sliced 40-bit hex lanes.
+      Bit-reproducible in any engine with md5 (the DuckDB oracle
+      restates it), so this is the cross-engine-verifiable form.
+    * ``"xxhash64"`` — one JVM-native xxhash64 per (lane, shingle),
+      seed-varied by a literal lane id.  Several times cheaper per call
+      than md5 AND the min-agg shuffle carries 8-byte longs instead of
+      10-char strings, so at 100 TB this is the production hash; the
+      candidate semantics are identical (each lane is an independent
+      avalanching permutation).  Not restatable in DuckDB — pair it with
+      a verify stage whose final output is hash-independent (see
+      plans/pipeline_queries.py::near_dup_pairs_fast).
     """
     n_bands = k // band_size
-    # explode shingles -> codegen md5 per (row, j) -> min-agg (map-side
+    # explode shingles -> codegen hash per (row, j) -> min-agg (map-side
     # partial): ~16x faster than array_min(transform(...)) because Spark
     # interprets higher-order-function lambda bodies outside whole-stage
     # codegen. Same values: min_j over the doc's shingles either way.
     # Docs with < shingle_n tokens have no shingles and drop out (as the
     # mh0-null filter did before).
     # array_distinct BEFORE explode: min over a doc's shingle *set* equals
-    # min over its multiset, so within-doc repeats would only re-pay k
-    # md5s each. Per-row dedupe costs no shuffle (vs dropDuplicates).
+    # min over its multiset, so within-doc repeats would only re-pay the
+    # lane hashes each. Per-row dedupe costs no shuffle (vs dropDuplicates).
     ex = exploded_distinct_shingles(df, id_col, text_col, shingle_n)
-    # 2 md5s per shingle; lane j = its own 10-hex-char (40-bit) slice
-    assert k <= 6, "6 independent 40-bit lanes per 2 digests"
-    d1 = F.md5("_s")
-    d2 = F.md5(F.concat(F.lit("x"), F.col("_s")))
-    lanes = [
-        (d1 if j < 3 else d2, 1 + 10 * (j % 3)) for j in range(k)
-    ]
-    hashed = ex.select(
-        "_id",
-        *[F.substring(d, pos, 10).alias(f"_l{j}")
-          for j, (d, pos) in enumerate(lanes)],
-    )
+    if hash_family == "xxhash64":
+        lane_cols = [F.xxhash64(F.lit(j), F.col("_s")).alias(f"_l{j}")
+                     for j in range(k)]
+    elif hash_family == "md5":
+        # 2 md5s per shingle; lane j = its own 10-hex-char (40-bit) slice
+        assert k <= 6, "6 independent 40-bit lanes per 2 digests"
+        d1 = F.md5("_s")
+        d2 = F.md5(F.concat(F.lit("x"), F.col("_s")))
+        lanes = [
+            (d1 if j < 3 else d2, 1 + 10 * (j % 3)) for j in range(k)
+        ]
+        lane_cols = [F.substring(d, pos, 10).alias(f"_l{j}")
+                     for j, (d, pos) in enumerate(lanes)]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    hashed = ex.select("_id", *lane_cols)
     sig = hashed.groupBy("_id").agg(
         *[F.min(F.col(f"_l{j}")).alias(f"mh{j}") for j in range(k)]
     )
+
+    def _band_key(b: int) -> Column:
+        mh = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        if hash_family == "xxhash64":
+            return F.xxhash64(*mh)  # longs in -> one long band key
+        return F.md5(F.concat_ws(
+            "_", *[c.cast("string") for c in mh]))
+
     bands = sig.select(
         "_id",
         F.explode(
@@ -155,13 +182,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "_",
-                                *[F.col(f"mh{b * band_size + j}").cast("string")
-                                  for j in range(band_size)]
-                            )
-                        ).alias("band_key"),
+                        _band_key(b).alias("band_key"),
                     )
                     for b in range(n_bands)
                 ]
@@ -191,6 +212,7 @@ def corpus_near_dup_dedup(
     shingle_n: int = 3,
     jaccard_num: int = 1,
     jaccard_den: int = 2,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Full dedup stage of a training-data pipeline, composed end to end:
 
@@ -202,11 +224,14 @@ def corpus_near_dup_dedup(
     Plan shape: one hash shuffle (exact), signatures + band join
     (never all-pairs), verification bounded by the candidate set, one
     final anti-join — every stage is the 100 TB form already used by the
-    individual operators."""
+    individual operators.  ``hash_family="xxhash64"`` switches the LSH
+    lanes to the JVM-native production hash (the verify stage makes the
+    kept set hash-family-robust for pairs comfortably past the cut; see
+    minhash_lsh_candidates)."""
     survivors = exact_dedup(df, text_col, id_col)
     cand = minhash_lsh_candidates(
         survivors, id_col, text_col, k=k, band_size=band_size,
-        shingle_n=shingle_n,
+        shingle_n=shingle_n, hash_family=hash_family,
     )
     verified = verify_pairs_jaccard(cand, survivors, id_col, text_col)
     drops = (

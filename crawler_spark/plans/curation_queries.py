@@ -353,3 +353,44 @@ def cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_intersect").cast("int").alias("n_intersect"),
         F.col("n_union").cast("int").alias("n_union"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-token importance weights (Xie et al. 2023): score
+# every document by target-vs-raw hashed-feature hit mass, as exact
+# integers (see operators/importance.py).  Target domain = the 'fr'
+# minority slice — rank or threshold callers use integer
+# cross-multiplication on (imp_num, imp_den).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dsir_importance",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_filter(
+                 regexp_split_to_array(text, '\\s+'), t -> t <> ''))) AS t
+      FROM documents
+    ), bucketed AS (
+      SELECT doc_id, lang, substr(md5(t), 1, 2) AS b FROM toks
+    ), stats AS (
+      SELECT b,
+             CAST(COUNT(*) AS BIGINT) AS raw_cnt,
+             CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tgt_cnt
+      FROM bucketed GROUP BY b
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(s.tgt_cnt) AS BIGINT) AS imp_num,
+           CAST(SUM(s.raw_cnt) AS BIGINT) AS imp_den
+    FROM bucketed t JOIN stats s USING (b)
+    GROUP BY t.doc_id
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.importance import importance_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return importance_weights(d, "doc_id", "text", F.col("lang") == "fr")

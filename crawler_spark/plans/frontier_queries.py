@@ -454,3 +454,51 @@ def parse_listing_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("listing", r"([0-9]+)ft2", 1).cast("int").alias("sqft"),
         F.regexp_extract("listing", r"in (city[0-9]+)", 1).alias("city"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Freshness-driven re-crawl scheduling (Cho & Garcia-Molina): the events
+# stream models a fetch history — one row per fetch of url `user_id` at
+# `ts`, with event_type in (purchase, error) as the content-changed
+# observation.  Integer cross-multiplied tier cuts + exact timestamp
+# arithmetic keep every output column engine-exact.  Extends the
+# reference's after-the-fetch change gate (SURVEY.md A14/B8/D2,
+# crawler_service change detection) into a before-the-fetch scheduler —
+# see frontier/freshness.py for the 100 TB shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recrawl_schedule",
+    oracle="""
+    WITH per_url AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_fetches,
+             CAST(SUM(CASE WHEN event_type IN ('purchase', 'error')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             MAX(ts) AS last_fetch
+      FROM events GROUP BY user_id
+    ), tiered AS (
+      SELECT user_id, n_fetches, n_changes,
+             CASE WHEN n_changes * 2 >= n_fetches * 1 THEN 'hot'
+                  WHEN n_changes * 5 >= n_fetches * 1 THEN 'warm'
+                  ELSE 'cold' END AS tier,
+             CAST(CASE WHEN n_changes * 2 >= n_fetches * 1 THEN 6
+                       WHEN n_changes * 5 >= n_fetches * 1 THEN 24
+                       ELSE 72 END AS INT) AS revisit_hours,
+             last_fetch
+      FROM per_url
+    )
+    SELECT user_id, n_fetches, n_changes, tier, revisit_hours,
+           last_fetch + to_hours(CAST(revisit_hours AS BIGINT)) AS next_due
+    FROM tiered
+    """,
+)
+def recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..frontier.freshness import recrawl_schedule
+
+    e = load_table(spark, sf_dir, "events")
+    return recrawl_schedule(
+        e, "user_id", "ts",
+        F.col("event_type").isin("purchase", "error"),
+    )

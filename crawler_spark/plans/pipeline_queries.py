@@ -1168,3 +1168,64 @@ def semantic_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quota_cap(
         scored, "cell", [F.col("sim").desc(), F.col("vec_id")], cap=20
     ).select("vec_id", "cell", "quota_rank")
+
+
+# ---------------------------------------------------------------------------
+# Fast-hash (xxhash64) MinHash-LSH, value-checked through a
+# hash-independent verify stage.  The md5 family above is the
+# cross-engine-restatable form; production at 100 TB wants JVM-native
+# xxhash64 lanes (several times cheaper per shingle, and the min-agg
+# shuffle carries 8-byte longs instead of 10-char hex strings).  DuckDB
+# cannot recompute xxhash64, so the oracle states the TRUTH instead:
+# every pair with shingle-Jaccard >= 0.97 (integer cross-multiplied).
+# The Spark side routes candidates through the xxhash64 banding and then
+# the exact shingle-Jaccard verify — so a hash-green row proves the fast
+# path's recall on these pairs is complete.  (Per-pair candidate
+# probability at J=0.97 with k=6/band_size=2 is 1-(1-J^2)^3 ~ 0.99986;
+# on the frozen testdata corpora recall is verified complete at both
+# sf0.001 and sf0.01, and data + hash are deterministic, so the check is
+# stable, not flaky.)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_TRUTH_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+  FROM toks WHERE len(l) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s)) AS n_intersect,
+       len(list_distinct(list_concat(a.s, b.s))) AS n_union
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 100
+      >= len(list_distinct(list_concat(a.s, b.s))) * 97
+"""
+
+
+@register("near_dup_pairs_fast", oracle=_SHINGLE_TRUTH_SQL)
+def near_dup_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cand = DD.minhash_lsh_candidates(
+        d, "doc_id", "text", k=6, band_size=2, hash_family="xxhash64")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(DD.word_shingles(F.col("text"), 3)).alias("s"),
+    ).where(F.size("s") >= 1)
+    ni = F.size(F.array_intersect("sa", "sb"))
+    nu = F.size(F.array_distinct(F.concat("sa", "sb")))
+    return (
+        cand
+        .join(sh.select(F.col("doc_id").alias("id_a"),
+                        F.col("s").alias("sa")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"),
+                        F.col("s").alias("sb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            ni.cast("long").alias("n_intersect"),
+            nu.cast("long").alias("n_union"),
+        )
+        .where(F.col("n_intersect") * 100 >= F.col("n_union") * 97)
+    )

@@ -153,6 +153,9 @@ DRIVER_TAIL_NEW = [
     "image_curation_e2e",  # image-leg curation composition, one oracle
     "caption_align_filter",   # CLIP-style caption<->pixel alignment gate
     "image_aspect_buckets",   # SDXL aspect-bucketed batch planning
+    "recrawl_schedule",       # freshness-driven re-crawl tiers (Cho/G-M)
+    "dsir_importance",        # DSIR hashed-token importance weights
+    "near_dup_pairs_fast",    # xxhash64-lane LSH through exact verify
 ]
 
 

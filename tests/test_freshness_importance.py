@@ -1,0 +1,164 @@
+"""Units for the round-5 late additions: freshness re-crawl scheduling,
+DSIR importance weights, and the xxhash64 MinHash-LSH hash family."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from crawler_spark.frontier.freshness import recrawl_schedule
+from crawler_spark.operators import dedup as DD
+from crawler_spark.operators.importance import importance_weights
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# recrawl_schedule
+# ---------------------------------------------------------------------------
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime.datetime(2024, 1, 1, h), c) for u, h, c in rows],
+        "url string, ts timestamp, changed boolean",
+    )
+
+
+def test_recrawl_tier_boundaries(spark):
+    # 2/4 changes = exactly the hot cut; 1/5 = exactly warm; 0/3 = cold
+    log = _log(spark, [
+        ("hot.example", 0, True), ("hot.example", 1, True),
+        ("hot.example", 2, False), ("hot.example", 3, False),
+        ("warm.example", 0, True), ("warm.example", 1, False),
+        ("warm.example", 2, False), ("warm.example", 3, False),
+        ("warm.example", 4, False),
+        ("cold.example", 0, False), ("cold.example", 1, False),
+        ("cold.example", 2, False),
+    ])
+    out = {r["url"]: r for r in recrawl_schedule(
+        log, "url", "ts", F.col("changed")).collect()}
+    assert out["hot.example"]["tier"] == "hot"
+    assert out["hot.example"]["revisit_hours"] == 6
+    assert out["warm.example"]["tier"] == "warm"
+    assert out["cold.example"]["tier"] == "cold"
+    # next_due = last observed fetch + tier hours, exact
+    assert out["hot.example"]["next_due"] == datetime.datetime(2024, 1, 1, 9)
+    assert out["cold.example"]["next_due"] == datetime.datetime(2024, 1, 4, 2)
+
+
+def test_recrawl_one_fetch_no_change_is_cold(spark):
+    log = _log(spark, [("x.example", 0, False)])
+    row = recrawl_schedule(log, "url", "ts", F.col("changed")).collect()[0]
+    assert (row["tier"], row["revisit_hours"]) == ("cold", 72)
+    # ...and one fetch WITH a change is hot (1*2 >= 1*1)
+    log2 = _log(spark, [("y.example", 0, True)])
+    row2 = recrawl_schedule(log2, "url", "ts", F.col("changed")).collect()[0]
+    assert (row2["tier"], row2["revisit_hours"]) == ("hot", 6)
+
+
+# ---------------------------------------------------------------------------
+# importance_weights
+# ---------------------------------------------------------------------------
+
+
+def test_importance_weights_tiny(spark):
+    # target doc shares token 'alpha' with doc 3; doc 4 is disjoint
+    df = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "gamma delta", False),
+         (3, "alpha  epsilon", False), (4, "zeta\nzeta eta", False)],
+        "id long, text string, tgt boolean",
+    )
+    out = {r["id"]: r for r in importance_weights(
+        df, "id", "text", F.col("tgt")).collect()}
+    from hashlib import md5
+
+    def bucket(t):
+        return md5(t.encode()).hexdigest()[:2]
+
+    toks = {1: ["alpha", "beta"], 2: ["gamma", "delta"],
+            3: ["alpha", "epsilon"], 4: ["zeta", "eta"]}
+    raw: dict[str, int] = {}
+    tgt: dict[str, int] = {}
+    for d, ts in toks.items():
+        for t in ts:
+            b = bucket(t)
+            raw[b] = raw.get(b, 0) + 1
+            if d == 1:
+                tgt[b] = tgt.get(b, 0) + 1
+    for d, ts in toks.items():
+        assert out[d]["n_tokens"] == len(ts), d
+        assert out[d]["imp_num"] == sum(tgt.get(bucket(t), 0) for t in ts), d
+        assert out[d]["imp_den"] == sum(raw.get(bucket(t), 0) for t in ts), d
+    # the target-sharing doc outranks the disjoint doc (cross-multiplied)
+    a, b = out[3], out[4]
+    assert a["imp_num"] * b["imp_den"] > b["imp_num"] * a["imp_den"]
+
+
+def test_importance_plan_broadcasts_stats(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = importance_weights(
+        df, "doc_id", "text", F.col("lang") == "fr"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# xxhash64 MinHash-LSH family
+# ---------------------------------------------------------------------------
+
+
+def _true_pairs(spark, thresh_num=97, thresh_den=100):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(DD.word_shingles(F.col("text"), 3)).alias("s"),
+    ).where(F.size("s") >= 1)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    ni = F.size(F.array_intersect("sa", "sb"))
+    nu = F.size(F.array_distinct(F.concat("sa", "sb")))
+    return {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(ni * thresh_den >= nu * thresh_num)
+        .select("id_a", "id_b").collect()
+    }
+
+
+def test_xxhash_family_recall_matches_md5(spark):
+    """Both hash families must find every true >=0.97-Jaccard pair on the
+    frozen corpus (the property near_dup_pairs_fast's oracle rests on)."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    truth = _true_pairs(spark)
+    assert truth, "corpus lost its planted near-dups?"
+    for fam in ("md5", "xxhash64"):
+        cand = {
+            (r["id_a"], r["id_b"])
+            for r in DD.minhash_lsh_candidates(
+                d, "doc_id", "text", k=6, band_size=2, hash_family=fam
+            ).collect()
+        }
+        missed = truth - cand
+        assert not missed, (fam, missed)
+
+
+def test_xxhash_family_band_keys_are_longs(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cand = DD.minhash_lsh_candidates(
+        d, "doc_id", "text", hash_family="xxhash64")
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan.lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_unknown_hash_family_raises(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    try:
+        DD.minhash_lsh_candidates(d, "doc_id", "text", hash_family="sha1")
+    except ValueError as e:
+        assert "hash_family" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
