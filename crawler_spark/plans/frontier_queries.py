@@ -502,3 +502,88 @@ def recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "user_id", "ts",
         F.col("event_type").isin("purchase", "error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-graph mass ranking (OPIC/PageRank-lite, frontier/linkrank.py): the
+# crawl-prioritization popularity signal, over a deterministic synthetic
+# link graph derived from documents ids — 3 modular outlinks per page
+# plus a link to one of 10 hub pages (the Zipf-hot head every real link
+# graph has), self-loops dropped.  Integer-only mass propagation: the
+# oracle replays both iterations in SQL and every intermediate matches
+# bit-for-bit (Spark `div` == DuckDB `//` on non-negative ints).
+# ---------------------------------------------------------------------------
+
+_LINK_EDGES_SQL = """
+  SELECT src, dst FROM (
+    SELECT doc_id AS src,
+           (doc_id * 3 + 0) % (SELECT COUNT(*) FROM documents) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           (doc_id * 5 + 1) % (SELECT COUNT(*) FROM documents)
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           (doc_id * 7 + 2) % (SELECT COUNT(*) FROM documents)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, doc_id % 10 FROM documents
+  ) WHERE dst <> src
+"""
+
+
+@register(
+    "link_mass_rank",
+    oracle="""
+    WITH e AS ({edges}),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+               FROM e GROUP BY src),
+    indeg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS indeg
+              FROM e GROUP BY dst),
+    m0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes),
+    c1 AS (SELECT e.dst AS node,
+                  CAST(SUM(m.mass // o.outdeg) AS BIGINT) AS inc
+           FROM e JOIN m0 m ON m.node = e.src
+                  JOIN outdeg o ON o.src = e.src
+           GROUP BY e.dst),
+    m1 AS (SELECT n.node,
+                  CAST(150000 + (85 * COALESCE(c.inc, 0)) // 100
+                       AS BIGINT) AS mass
+           FROM nodes n LEFT JOIN c1 c USING (node)),
+    c2 AS (SELECT e.dst AS node,
+                  CAST(SUM(m.mass // o.outdeg) AS BIGINT) AS inc
+           FROM e JOIN m1 m ON m.node = e.src
+                  JOIN outdeg o ON o.src = e.src
+           GROUP BY e.dst),
+    m2 AS (SELECT n.node,
+                  CAST(150000 + (85 * COALESCE(c.inc, 0)) // 100
+                       AS BIGINT) AS mass
+           FROM nodes n LEFT JOIN c2 c USING (node))
+    SELECT m2.node,
+           CAST(COALESCE(i.indeg, 0) AS BIGINT) AS indegree,
+           CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS outdegree,
+           m2.mass
+    FROM m2 LEFT JOIN indeg i ON i.dst = m2.node
+            LEFT JOIN outdeg o ON o.src = m2.node
+    """.format(edges=_LINK_EDGES_SQL),
+)
+def link_mass_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..frontier.linkrank import link_mass_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()  # bounded driver-side scalar (graph modulus)
+    dsts = F.array(
+        (F.col("doc_id") * 3 + 0) % n,
+        (F.col("doc_id") * 5 + 1) % n,
+        (F.col("doc_id") * 7 + 2) % n,
+        F.col("doc_id") % 10,
+    )
+    edges = (
+        d.select("doc_id", F.explode(dsts).alias("dst"))
+        .where(F.col("dst") != F.col("doc_id"))
+        .select(F.col("doc_id").alias("src"), "dst")
+    )
+    return link_mass_rank(edges, "src", "dst", iterations=2)

@@ -156,6 +156,7 @@ DRIVER_TAIL_NEW = [
     "recrawl_schedule",       # freshness-driven re-crawl tiers (Cho/G-M)
     "dsir_importance",        # DSIR hashed-token importance weights
     "near_dup_pairs_fast",    # xxhash64-lane LSH through exact verify
+    "link_mass_rank",         # OPIC/PageRank-lite crawl prioritization
 ]
 
 

@@ -162,3 +162,35 @@ def test_unknown_hash_family_raises(spark):
         assert "hash_family" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+# ---------------------------------------------------------------------------
+# link_mass_rank
+# ---------------------------------------------------------------------------
+
+
+def test_link_mass_rank_tiny_graph(spark):
+    from crawler_spark.frontier.linkrank import SCALE, link_mass_rank
+
+    # 1 -> 2, 1 -> 3, 2 -> 3, 4 -> 3 (3 is the hub; 4 is source-only)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 3)], "src long, dst long")
+    out = {r["node"]: r for r in link_mass_rank(
+        edges, "src", "dst", iterations=2).collect()}
+
+    # replay the integer recurrence by hand
+    outdeg = {1: 2, 2: 1, 4: 1}
+    m = {n: SCALE for n in (1, 2, 3, 4)}
+    floor = 15 * SCALE // 100
+    for _ in range(2):
+        inc = {n: 0 for n in (1, 2, 3, 4)}
+        for s, d in [(1, 2), (1, 3), (2, 3), (4, 3)]:
+            inc[d] += m[s] // outdeg[s]
+        m = {n: floor + (85 * inc[n]) // 100 for n in (1, 2, 3, 4)}
+
+    for n in (1, 2, 3, 4):
+        assert out[n]["mass"] == m[n], n
+    assert out[3]["indegree"] == 3 and out[3]["outdegree"] == 0
+    assert out[1]["indegree"] == 0 and out[1]["outdegree"] == 2
+    # the hub accumulated strictly more mass than everyone else
+    assert all(out[3]["mass"] > out[n]["mass"] for n in (1, 2, 4))
