@@ -354,3 +354,34 @@ def rules_to_engine_dim(rules: DataFrame) -> DataFrame:
     return delays.join(first_dis, "host_id", "left").select(
         "host_id", "disallow", F.coalesce("crawl_delay", F.lit(1)).alias("crawl_delay")
     )
+
+
+def extract_sitemaps(
+    df: DataFrame, host_col: str = "host_id", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """Sitemap discovery from robots.txt bodies (the sitemaps.org
+    extension Google/Bing honour): ``Sitemap: <url>`` lines are GLOBAL
+    — not part of any user-agent group — case-insensitive on the key,
+    and may appear anywhere in the file; ``#`` starts a comment.
+
+    Returns (host_col, sitemap_url), one row per extracted URL.  Pure
+    native column algebra (split -> explode -> comment-strip -> anchored
+    case-insensitive regexp), zero Python — scan-speed at 10^10 robots
+    bodies.  Discovered sitemap URLs union into the seed sources
+    (sources/seeds.py) as high-priority frontier entries — the standard
+    crawl bootstrap the reference lacks (robots_checker.py consumes only
+    the group rules).  Simplification shared with major crawlers: a
+    literal '#' inside the sitemap URL itself is treated as a comment
+    start (fragments are meaningless in sitemap URLs).
+    """
+    lines = df.select(
+        F.col(host_col),
+        F.explode(F.split(F.col(txt_col), "\n")).alias("_ln"),
+    )
+    stripped = F.split(F.col("_ln"), "#").getItem(0)
+    url = F.regexp_extract(
+        stripped, r"(?i)^[ \t]*sitemap[ \t]*:[ \t]*([^ \t]+)", 1)
+    return (
+        lines.select(F.col(host_col), url.alias("sitemap_url"))
+        .where(F.col("sitemap_url") != "")
+    )

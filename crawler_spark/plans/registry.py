@@ -157,6 +157,7 @@ DRIVER_TAIL_NEW = [
     "dsir_importance",        # DSIR hashed-token importance weights
     "near_dup_pairs_fast",    # xxhash64-lane LSH through exact verify
     "link_mass_rank",         # OPIC/PageRank-lite crawl prioritization
+    "robots_sitemaps",        # sitemaps.org discovery from robots bodies
 ]
 
 

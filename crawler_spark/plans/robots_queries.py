@@ -144,3 +144,56 @@ def robots_can_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(".example.com"), path).alias("url"),
     )
     return can_fetch_df(urls, rules).select("c_custkey", "host_id", "allowed")
+
+
+# ---------------------------------------------------------------------------
+# Sitemap discovery (sitemaps.org extension; functions/robots.py::
+# extract_sitemaps).  The corpus is synthesized here — every host gets a
+# canonical `Sitemap:` line, h%3==0 hosts add a lowercase-key second
+# sitemap (case-insensitivity), h%4==1 hosts an indented line with a
+# trailing comment (whitespace + comment stripping), h%5==2 hosts a fully
+# commented-OUT line that must NOT extract.  As everywhere in this file,
+# the oracle never sees the text: it reconstructs the expected URL set
+# from the generating arithmetic, so any extractor deviation surfaces as
+# a value mismatch.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "robots_sitemaps",
+    oracle="""
+    WITH h AS (SELECT CAST(n_nationkey AS INT) AS hid FROM nation)
+    SELECT hid AS host_id,
+           'https://host' || hid || '.example/sitemap.xml' AS sitemap_url
+    FROM h
+    UNION ALL
+    SELECT hid, 'https://host' || hid || '.example/sitemap-news.xml'
+    FROM h WHERE hid % 3 = 0
+    UNION ALL
+    SELECT hid, 'https://host' || hid || '.example/extra.xml'
+    FROM h WHERE hid % 4 = 1
+    """,
+)
+def robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.robots import extract_sitemaps
+
+    n = load_table(spark, sf_dir, "nation")
+    h = F.col("n_nationkey").cast("int")
+    base = F.concat(F.lit("https://host"), h.cast("string"),
+                    F.lit(".example/"))
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.lit("Sitemap: "), base, F.lit("sitemap.xml\n"),
+        F.when(h % 3 == 0, F.concat(
+            F.lit("sitemap: "), base, F.lit("sitemap-news.xml\n"))
+        ).otherwise(F.lit("")),
+        F.when(h % 4 == 1, F.concat(
+            F.lit("  Sitemap:   "), base,
+            F.lit("extra.xml  # discovered via robots\n"))
+        ).otherwise(F.lit("")),
+        F.when(h % 5 == 2, F.concat(
+            F.lit("# Sitemap: "), base, F.lit("ghost.xml\n"))
+        ).otherwise(F.lit("")),
+    )
+    bodies = n.select(h.alias("host_id"), txt.alias("robots_txt"))
+    return extract_sitemaps(bodies, "host_id", "robots_txt")

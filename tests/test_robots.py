@@ -364,3 +364,32 @@ def test_fast_path_guard_rate(spark):
     row = fast_path_guard_rate(df).collect()[0]
     assert row.n_urls == 6 and row.n_plain == 2
     assert abs(row.guard_rate - 2 / 6) < 1e-6
+
+
+def test_extract_sitemaps_edges(spark):
+    from crawler_spark.functions.robots import extract_sitemaps
+
+    bodies = spark.createDataFrame(
+        [
+            # canonical + lowercase + indented-with-comment
+            (1, "User-agent: *\nSitemap: https://a/s.xml\n"
+                "sitemap: https://a/n.xml\n"
+                "\tSITEMAP:\thttps://a/t.xml # found\n"),
+            # commented out, mid-line mention, empty value: none extract
+            (2, "# Sitemap: https://b/ghost.xml\n"
+                "Disallow: /see-our-Sitemap: https://b/no.xml\n"
+                "Sitemap:\n"),
+            # no sitemap at all
+            (3, "User-agent: *\nDisallow: /\n"),
+        ],
+        "host_id int, robots_txt string",
+    )
+    out = sorted(
+        (r["host_id"], r["sitemap_url"])
+        for r in extract_sitemaps(bodies).collect()
+    )
+    assert out == [
+        (1, "https://a/n.xml"),
+        (1, "https://a/s.xml"),
+        (1, "https://a/t.xml"),
+    ]
