@@ -37,13 +37,26 @@ __all__ = ["token_bucket", "importance_weights"]
 N_BUCKETS = 256  # 2 hex chars of md5 — fixed, engine-portable
 
 
-def token_bucket(tok: Column) -> Column:
-    """Hashed feature bucket of a token: first 2 hex chars of md5."""
-    return F.substring(F.md5(tok), 1, 2)
+def token_bucket(tok: Column, bucket_family: str = "md5") -> Column:
+    """Hashed feature bucket of a token.
+
+    ``"md5"`` — first 2 hex chars (a 256-bucket STRING key; restatable
+    in any engine with md5, so the DuckDB oracle form).
+    ``"xxhash64"`` — pmod(xxhash64, 256): JVM-native, measured ~1.7x
+    faster through the full weights job at 2M docs (the production
+    form; not restatable in DuckDB).  Weights differ only by which
+    tokens share a bucket — both are uniform 256-way hashes.
+    """
+    if bucket_family == "xxhash64":
+        return F.pmod(F.xxhash64(tok), F.lit(N_BUCKETS))
+    if bucket_family == "md5":
+        return F.substring(F.md5(tok), 1, 2)
+    raise ValueError(f"unknown bucket_family: {bucket_family!r}")
 
 
 def _doc_token_buckets(
-    df: DataFrame, id_col: str, text_col: str, target_pred: Column
+    df: DataFrame, id_col: str, text_col: str, target_pred: Column,
+    bucket_family: str = "md5",
 ) -> DataFrame:
     """(_id, _is_target, _b): one row per (doc, distinct whitespace
     token) with the token's bucket; the doc-level target flag is carried
@@ -57,7 +70,8 @@ def _doc_token_buckets(
         F.col(id_col).alias("_id"),
         target_pred.alias("_is_target"),
         F.explode(toks).alias("_t"),
-    ).select("_id", "_is_target", token_bucket(F.col("_t")).alias("_b"))
+    ).select("_id", "_is_target",
+             token_bucket(F.col("_t"), bucket_family).alias("_b"))
 
 
 def importance_weights(
@@ -65,6 +79,7 @@ def importance_weights(
     id_col: str,
     text_col: str,
     target_pred: Column,
+    bucket_family: str = "md5",
 ) -> DataFrame:
     """Per-document importance as exact integers.
 
@@ -82,7 +97,8 @@ def importance_weights(
     language predicate); for an external target corpus, union it in with
     the predicate set on provenance.
     """
-    flagged = _doc_token_buckets(df, id_col, text_col, target_pred)
+    flagged = _doc_token_buckets(
+        df, id_col, text_col, target_pred, bucket_family)
     stats = flagged.groupBy("_b").agg(
         F.count("*").alias("_raw_cnt"),
         F.sum(F.col("_is_target").cast("long")).alias("_tgt_cnt"),

@@ -194,3 +194,27 @@ def test_link_mass_rank_tiny_graph(spark):
     assert out[1]["indegree"] == 0 and out[1]["outdegree"] == 2
     # the hub accumulated strictly more mass than everyone else
     assert all(out[3]["mass"] > out[n]["mass"] for n in (1, 2, 4))
+
+
+def test_importance_bucket_families_agree_on_mass(spark):
+    """n_tokens is bucket-family-invariant; weights differ only by
+    which tokens share a bucket (both families are uniform 256-way)."""
+    from crawler_spark.operators.importance import importance_weights
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    a = {r["doc_id"]: r for r in importance_weights(
+        df, "doc_id", "text", F.col("lang") == "fr").collect()}
+    b = {r["doc_id"]: r for r in importance_weights(
+        df, "doc_id", "text", F.col("lang") == "fr",
+        bucket_family="xxhash64").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["n_tokens"] == b[k]["n_tokens"], k
+        assert b[k]["imp_den"] >= b[k]["n_tokens"]  # every token hits >=1
+    try:
+        importance_weights(df, "doc_id", "text", F.col("lang") == "fr",
+                           bucket_family="crc32")
+    except ValueError as e:
+        assert "bucket_family" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
