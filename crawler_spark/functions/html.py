@@ -15,6 +15,7 @@ from datetime import datetime, timezone
 
 import pandas as pd
 from pyspark.sql import Column
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from .urls import _canon_one
@@ -146,3 +147,37 @@ def parse_page(html, url) -> Column:
             )
         _parse_page_udf = pandas_udf(fn, PARSE_SCHEMA)
     return _parse_page_udf(html, url)
+
+
+def html_to_text(html: Column) -> Column:
+    """Visible-text extraction from raw HTML (the boilerplate-removal
+    step every training-data pipeline runs between crawl and curation;
+    trafilatura/jusText do this with DOM heuristics — this is the exact,
+    deterministic core: script/style/comment removal, tag stripping,
+    minimal entity decoding, whitespace collapse).
+
+    Pure native regexp_replace chain — codegen'd, zero Python, zero
+    shuffles: scan-speed over 10^10 pages.  Order matters and is part of
+    the contract:
+
+    1. ``<script>``/``<style>`` blocks go FIRST (their contents are not
+       text, and may contain markup that must never surface);
+    2. comments, then all remaining tags, each replaced by a space
+       (block boundaries must not glue words together);
+    3. entities decode AFTER tag stripping so a decoded ``&lt;tag&gt;``
+       stays literal text (decoding first would re-introduce strippable
+       markup — the classic double-decode bug); ``&amp;`` decodes last
+       for the same reason;
+    4. whitespace-run collapse + trim.
+
+    Reference analogue: the crawler stores raw HTML and parses fields
+    only (file_storage/parsers); it has no text-extraction surface.
+    """
+    t = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

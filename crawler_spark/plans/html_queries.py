@@ -173,3 +173,54 @@ def html_extract_images_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(extract_image_urls("html", "base")).alias("image_url"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Visible-text extraction (functions/html.py::html_to_text).  The page
+# synthesized here carries every boilerplate hazard the operator's
+# contract names: a style block, a script block whose BODY CONTAINS
+# MARKUP that must never surface (`<div>hidden N</div>`), an HTML
+# comment, entities that decode to literal markup (`&lt;tag&gt;` must
+# stay text), and whitespace runs.  The oracle reconstructs the expected
+# visible text purely from the generating arithmetic — it never applies
+# the regexp chain — so any extraction deviation (ordering bugs,
+# double-decode, glued words) is a value mismatch.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "html_to_text",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || doc_id || ' Heading ' || doc_id
+           || ' Para one & two <tag> "q" ''s'' end tail '
+           || CAST(doc_id % 7 AS VARCHAR) AS text,
+           CAST(LENGTH(
+             'Doc ' || doc_id || ' Heading ' || doc_id
+             || ' Para one & two <tag> "q" ''s'' end tail '
+             || CAST(doc_id % 7 AS VARCHAR)) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def html_to_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.html import html_to_text
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), i, F.lit("</title>\n"),
+        F.lit("<style>body { color: red; }</style>\n"),
+        F.lit('<script type="text/javascript">var x = '), i,
+        F.lit("; document.write('<div>hidden "), i,
+        F.lit("</div>');</script>\n"),
+        F.lit("</head><body>\n<!-- build "), i, F.lit(" -->\n"),
+        F.lit("<h1>Heading "), i, F.lit("</h1>\n"),
+        F.lit("<p>Para   one &amp; two &lt;tag&gt; &quot;q&quot; "
+              "&#39;s&#39;&nbsp;end</p>\n"),
+        F.lit("<div>tail "), (F.col("doc_id") % 7).cast("string"),
+        F.lit("</div>\n</body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        html_to_text(page).alias("text"),
+    ).withColumn("n_chars", F.length("text").cast("long"))

@@ -158,6 +158,7 @@ DRIVER_TAIL_NEW = [
     "near_dup_pairs_fast",    # xxhash64-lane LSH through exact verify
     "link_mass_rank",         # OPIC/PageRank-lite crawl prioritization
     "robots_sitemaps",        # sitemaps.org discovery from robots bodies
+    "html_to_text",           # visible-text / boilerplate removal
 ]
 
 

@@ -94,3 +94,40 @@ def test_explode_pipeline_shape(spark):
         .dropDuplicates(["url"])
     )
     assert out.count() == 2
+
+
+def test_html_to_text_edges(spark):
+    from crawler_spark.functions.html import html_to_text
+
+    rows = spark.createDataFrame(
+        [
+            # double-encoded entity stays ONE level decoded (no
+            # double-decode: &amp;lt; -> &lt;, never <)
+            (1, "a &amp;lt;b&amp;gt; c"),
+            # script body markup never surfaces; style stripped;
+            # tags become spaces so words don't glue
+            (2, "<p>x</p><script>y = '<div>no</div>';</script>"
+                "<style>.a{}</style><b>z</b>"),
+            # comment with markup inside; whitespace runs collapse
+            (3, "a <!-- <b>gone</b> -->   b\n\tc"),
+            # entity-decoded markup stays literal text
+            (4, "&lt;script&gt;alert(1)&lt;/script&gt;"),
+        ],
+        "id int, html string",
+    )
+    out = {r["id"]: r["t"] for r in rows.select(
+        "id", html_to_text(F.col("html")).alias("t")).collect()}
+    assert out[1] == "a &lt;b&gt; c"
+    assert out[2] == "x z"
+    assert out[3] == "a b c"
+    assert out[4] == "<script>alert(1)</script>"
+
+
+def test_html_to_text_plan_native(spark):
+    from crawler_spark.functions.html import html_to_text
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = d.select(html_to_text(F.col("text")).alias("t"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
