@@ -181,3 +181,24 @@ def html_to_text(html: Column) -> Column:
                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def anchor_text_pairs(html: Column) -> Column:
+    """(href, anchor_text) pairs from raw HTML as a zipped array — the
+    anchor-text signal search/crawl rankers aggregate per TARGET page
+    (it describes the target, not the page it sits on).
+
+    Native trick: ``regexp_extract_all`` returns one group per call, so
+    the same pattern runs twice (group 1 = href, group 2 = text) and
+    ``arrays_zip`` aligns them — identical pattern, identical match
+    order, so the zip is positionally exact.  Zero Python; explode the
+    result and aggregate per href.  Matches only simple textual anchors
+    (``<a ... href="X" ...>TEXT</a>`` with tag-free TEXT) — nested
+    markup anchors are the UDF extractor's job (extract_links); rankers
+    want the plain-text ones anyway.
+    """
+    pat = r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+    return F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(pat), F.lit(1)).alias("href"),
+        F.regexp_extract_all(html, F.lit(pat), F.lit(2)).alias("text"),
+    )

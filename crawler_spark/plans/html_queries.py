@@ -6,7 +6,7 @@ value-checked, not just unit-tested."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.html import extract_image_urls, extract_links, parse_page
@@ -224,3 +224,88 @@ def html_to_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         html_to_text(page).alias("text"),
     ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation per target (functions/html.py::
+# anchor_text_pairs): each synthesized page carries three anchors — two
+# modular targets (one with a generic "click here" on even pages) and a
+# hub link — and the query aggregates the classic ranking signal per
+# TARGET: how many pages link here, with how many distinct anchor
+# texts, and which text dominates (count desc, text asc — exact
+# integer/string ordering).  The oracle reconstructs the (dst, text)
+# tuples arithmetically and aggregates in SQL — the regexp extraction
+# and zip alignment are what the hash check proves.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anchor_text_agg",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    pairs AS (
+      SELECT (doc_id * 3 + 1) % (SELECT n FROM n) AS dst,
+             'unit ' || CAST((doc_id * 3 + 1) % (SELECT n FROM n)
+                             AS VARCHAR) AS text
+      FROM documents
+      UNION ALL
+      SELECT (doc_id * 5 + 2) % (SELECT n FROM n),
+             CASE WHEN doc_id % 2 = 0 THEN 'click here'
+                  ELSE 'unit ' || CAST((doc_id * 5 + 2) % (SELECT n FROM n)
+                                       AS VARCHAR) END
+      FROM documents
+      UNION ALL
+      SELECT doc_id % 50, 'home' FROM documents
+    ), agg AS (
+      SELECT dst, text, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs GROUP BY dst, text
+    ), ranked AS (
+      SELECT dst, text, c,
+             ROW_NUMBER() OVER (PARTITION BY dst
+                                ORDER BY c DESC, text ASC) AS rn,
+             CAST(SUM(c) OVER (PARTITION BY dst) AS BIGINT) AS n_anchors,
+             CAST(COUNT(*) OVER (PARTITION BY dst) AS BIGINT)
+               AS n_unique_texts
+      FROM agg
+    )
+    SELECT '/p/' || CAST(dst AS VARCHAR) AS target,
+           n_anchors, n_unique_texts, text AS top_text
+    FROM ranked WHERE rn = 1
+    """,
+)
+def anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.html import anchor_text_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()  # bounded driver-side scalar (link-target modulus)
+    i = F.col("doc_id")
+    d1 = (i * 3 + 1) % n
+    d2 = (i * 5 + 2) % n
+    t2 = F.when(i % 2 == 0, F.lit("click here")).otherwise(
+        F.concat(F.lit("unit "), d2.cast("string")))
+    page = F.concat(
+        F.lit('<html><body><p>See <a class="l" href="/p/'),
+        d1.cast("string"), F.lit('">unit '), d1.cast("string"),
+        F.lit('</a> and <A HREF="/p/'), d2.cast("string"),
+        F.lit('" rel="x">'), t2, F.lit("</a>.</p>"),
+        F.lit('<a href="/p/'), (i % 50).cast("string"),
+        F.lit('">home</a></body></html>'),
+    )
+    pairs = d.select(
+        F.explode(anchor_text_pairs(page)).alias("pr")
+    ).select(F.col("pr.href").alias("href"), F.col("pr.text").alias("text"))
+    agg = pairs.groupBy("href", "text").agg(
+        F.count("*").cast("long").alias("c"))
+    w = W.partitionBy("href")
+    ranked = agg.select(
+        "href", "text", "c",
+        F.row_number().over(
+            w.orderBy(F.col("c").desc(), F.col("text").asc())).alias("rn"),
+        F.sum("c").over(w).cast("long").alias("n_anchors"),
+        F.count("*").over(w).cast("long").alias("n_unique_texts"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        F.col("href").alias("target"),
+        "n_anchors", "n_unique_texts",
+        F.col("text").alias("top_text"),
+    )

@@ -159,6 +159,7 @@ DRIVER_TAIL_NEW = [
     "link_mass_rank",         # OPIC/PageRank-lite crawl prioritization
     "robots_sitemaps",        # sitemaps.org discovery from robots bodies
     "html_to_text",           # visible-text / boilerplate removal
+    "anchor_text_agg",        # per-target anchor-text ranking signal
 ]
 
 

@@ -131,3 +131,23 @@ def test_html_to_text_plan_native(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_anchor_text_pairs_edges(spark):
+    from crawler_spark.functions.html import anchor_text_pairs
+
+    rows = spark.createDataFrame(
+        [
+            # mixed case, attr after href, empty text, nested-markup
+            # anchor excluded (text has a tag)
+            (1, '<A HREF="/a" rel="x">T</a><a href="/b"></a>'
+                '<a href="/c"><b>no</b></a>'),
+            (2, "no anchors here"),
+        ],
+        "id int, html string",
+    )
+    out = rows.select(
+        "id", anchor_text_pairs(F.col("html")).alias("p")).collect()
+    byid = {r["id"]: [(e["href"], e["text"]) for e in r["p"]] for r in out}
+    assert byid[1] == [("/a", "T"), ("/b", "")]
+    assert byid[2] == []
