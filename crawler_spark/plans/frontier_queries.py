@@ -533,10 +533,9 @@ _LINK_EDGES_SQL = """
 """
 
 
-@register(
-    "link_mass_rank",
-    oracle="""
-    WITH e AS ({edges}),
+# the two-iteration mass recurrence as reusable CTEs (m2 = final mass)
+_LINK_MASS_CTES = """
+    e AS ({edges}),
     nodes AS (SELECT DISTINCT src AS node FROM e
               UNION SELECT DISTINCT dst FROM e),
     outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
@@ -562,28 +561,99 @@ _LINK_EDGES_SQL = """
                   CAST(150000 + (85 * COALESCE(c.inc, 0)) // 100
                        AS BIGINT) AS mass
            FROM nodes n LEFT JOIN c2 c USING (node))
-    SELECT m2.node,
-           CAST(COALESCE(i.indeg, 0) AS BIGINT) AS indegree,
-           CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS outdegree,
-           m2.mass
-    FROM m2 LEFT JOIN indeg i ON i.dst = m2.node
-            LEFT JOIN outdeg o ON o.src = m2.node
-    """.format(edges=_LINK_EDGES_SQL),
-)
-def link_mass_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..frontier.linkrank import link_mass_rank
+""".format(edges=_LINK_EDGES_SQL)
 
-    d = load_table(spark, sf_dir, "documents")
-    n = d.count()  # bounded driver-side scalar (graph modulus)
+
+def _link_graph(d: DataFrame, n: int) -> DataFrame:
+    """The synthetic link graph (Spark side of _LINK_EDGES_SQL)."""
     dsts = F.array(
         (F.col("doc_id") * 3 + 0) % n,
         (F.col("doc_id") * 5 + 1) % n,
         (F.col("doc_id") * 7 + 2) % n,
         F.col("doc_id") % 10,
     )
-    edges = (
+    return (
         d.select("doc_id", F.explode(dsts).alias("dst"))
         .where(F.col("dst") != F.col("doc_id"))
         .select(F.col("doc_id").alias("src"), "dst")
     )
-    return link_mass_rank(edges, "src", "dst", iterations=2)
+
+
+@register(
+    "link_mass_rank",
+    oracle="""
+    WITH {ctes}
+    SELECT m2.node,
+           CAST(COALESCE(i.indeg, 0) AS BIGINT) AS indegree,
+           CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS outdegree,
+           m2.mass
+    FROM m2 LEFT JOIN indeg i ON i.dst = m2.node
+            LEFT JOIN outdeg o ON o.src = m2.node
+    """.format(ctes=_LINK_MASS_CTES),
+)
+def link_mass_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..frontier.linkrank import link_mass_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()  # bounded driver-side scalar (graph modulus)
+    return link_mass_rank(_link_graph(d, n), "src", "dst", iterations=2)
+
+
+# ---------------------------------------------------------------------------
+# Popularity-boosted frontier ordering: the E2/E4 per-host ranked fetch
+# order with link mass as the within-priority tiebreak — the integration
+# that makes linkrank a frontier SIGNAL rather than a standalone stat.
+# Per-host window (never a global sort), top-5 per host; pages the graph
+# never references take the damping-floor mass on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "linkmass_frontier_order",
+    oracle="""
+    WITH {ctes},
+    pages AS (
+      SELECT doc_id, doc_id % 20 AS host,
+             CAST(doc_id % 5 AS INT) AS base_priority
+      FROM documents
+    ), joined AS (
+      SELECT p.doc_id, p.host, p.base_priority,
+             CAST(COALESCE(m.mass, 150000) AS BIGINT) AS mass
+      FROM pages p LEFT JOIN m2 m ON m.node = p.doc_id
+    ), ranked AS (
+      SELECT doc_id, host, base_priority, mass,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY host
+               ORDER BY base_priority ASC, mass DESC, doc_id ASC
+             ) AS INT) AS fetch_rank
+      FROM joined
+    )
+    SELECT doc_id, host, base_priority, mass, fetch_rank
+    FROM ranked WHERE fetch_rank <= 5
+    """.format(ctes=_LINK_MASS_CTES),
+)
+def linkmass_frontier_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..frontier.linkrank import link_mass_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    mass = link_mass_rank(
+        _link_graph(d, n), "src", "dst", iterations=2
+    ).select(F.col("node").alias("doc_id"), "mass")
+    pages = d.select(
+        "doc_id",
+        (F.col("doc_id") % 20).alias("host"),
+        (F.col("doc_id") % 5).cast("int").alias("base_priority"),
+    )
+    joined = pages.join(mass, "doc_id", "left").select(
+        "doc_id", "host", "base_priority",
+        F.coalesce("mass", F.lit(150000)).cast("long").alias("mass"),
+    )
+    w = W.partitionBy("host").orderBy(
+        F.col("base_priority").asc(), F.col("mass").desc(),
+        F.col("doc_id").asc())
+    return (
+        joined.withColumn(
+            "fetch_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("fetch_rank") <= 5)
+    )

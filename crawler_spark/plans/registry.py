@@ -160,6 +160,7 @@ DRIVER_TAIL_NEW = [
     "robots_sitemaps",        # sitemaps.org discovery from robots bodies
     "html_to_text",           # visible-text / boilerplate removal
     "anchor_text_agg",        # per-target anchor-text ranking signal
+    "linkmass_frontier_order",  # E2/E4 per-host order with mass boost
 ]
 
 
