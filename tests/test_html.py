@@ -151,3 +151,48 @@ def test_anchor_text_pairs_edges(spark):
     byid = {r["id"]: [(e["href"], e["text"]) for e in r["p"]] for r in out}
     assert byid[1] == [("/a", "T"), ("/b", "")]
     assert byid[2] == []
+
+
+# ---------------------------------------------------------------------------
+# Property: html_to_text (Java regex, codegen) agrees with a pure-Python
+# reference of the SAME chain over adversarial markup soup.  Alphabet is
+# ASCII (+ \t\n): the operator's contract is Java \s semantics — exotic
+# Unicode whitespace classes differ between engines and are out of
+# contract (the oracle reconstructs expected text, it never regexes).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from hypothesis import given, settings, strategies as st
+
+_FRAGS = st.sampled_from([
+    "<script>", "</script>", "<script a='b'>", "<style>", "</style>",
+    "<!--", "-->", "<b>", "</b>", "<", ">", "&amp;", "&lt;", "&gt;",
+    "&quot;", "&#39;", "&nbsp;", "&amp;lt;", "word", "x y", " ", "\n",
+    "\t", "a<b", "4>3", "<a href=\"u\">t</a>", "scripty", "=",
+])
+_SOUP = st.lists(_FRAGS, min_size=0, max_size=30).map("".join)
+
+
+def _ref_html_to_text(h: str) -> str:
+    t = _re.sub(r"(?is)<script\b[^>]*>.*?</script>", " ", h)
+    t = _re.sub(r"(?is)<style\b[^>]*>.*?</style>", " ", t)
+    t = _re.sub(r"(?s)<!--.*?-->", " ", t)
+    t = _re.sub(r"<[^>]+>", " ", t)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        t = t.replace(ent, ch)
+    return _re.sub(r"\s+", " ", t).strip(" ")
+
+
+@settings(max_examples=10, deadline=None)
+@given(soups=st.lists(_SOUP, min_size=5, max_size=20))
+def test_html_to_text_matches_python_reference(spark, soups):
+    from crawler_spark.functions.html import html_to_text
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(soups)], "id int, html string")
+    got = {r["id"]: r["t"] for r in df.select(
+        "id", html_to_text(F.col("html")).alias("t")).collect()}
+    for i, s in enumerate(soups):
+        assert got[i] == _ref_html_to_text(s), repr(s)
