@@ -281,3 +281,28 @@ def test_aspect_buckets_single_window_exchange(spark):
     plan = _plan(image_aspect_buckets(spark, SF))
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_recrawl_schedule_single_exchange(spark):
+    """The freshness scheduler is ONE keyed aggregation (map-side
+    partials) + column algebra — one shuffle, no Python."""
+    plan = _plan(QUERIES["recrawl_schedule"](spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anchor_text_agg_two_exchanges_no_python(spark):
+    """Dual regexp_extract_all + zip is pure codegen; the agg pays one
+    (href, text) shuffle and the per-href window one more."""
+    plan = _plan(QUERIES["anchor_text_agg"](spark, SF))
+    assert plan.count("Exchange") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_linkmass_order_no_global_sort(spark):
+    """Mass propagation + the per-host fetch window must never collapse
+    to a single-partition (global-sort) window."""
+    plan = _plan(QUERIES["linkmass_frontier_order"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
