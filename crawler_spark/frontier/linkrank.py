@@ -69,7 +69,7 @@ def link_mass_rank(
     indeg = e.groupBy("_dst").agg(F.count("*").alias("indeg"))
     mass = nodes.select("node", F.lit(SCALE).cast("long").alias("mass"))
     floor = (15 * SCALE) // 100
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e.join(mass.withColumnRenamed("node", "_src"), "_src")
             .join(outdeg, "_src")
@@ -89,6 +89,10 @@ def link_mass_rank(
                  ).cast("long").alias("mass"),
             )
         )
+        # keep lineage flat on long chains (the connected_components
+        # pattern); the 2-3 iteration frontier default never triggers it
+        if (it + 1) % 3 == 0 and it + 1 < iterations:
+            mass = mass.localCheckpoint(eager=True)
     return (
         mass
         .join(indeg.withColumnRenamed("_dst", "node"), "node", "left")

@@ -218,3 +218,24 @@ def test_importance_bucket_families_agree_on_mass(spark):
         assert "bucket_family" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_link_mass_rank_long_chain_checkpoints(spark):
+    """iterations=6 crosses the lineage-checkpoint boundary; values must
+    still equal the hand recurrence (checkpointing is value-neutral)."""
+    from crawler_spark.frontier.linkrank import SCALE, link_mass_rank
+
+    edge_list = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    out = {r["node"]: r["mass"] for r in link_mass_rank(
+        edges, "src", "dst", iterations=6).collect()}
+
+    outdeg = {1: 2, 2: 1, 3: 1}
+    m = {n: SCALE for n in (1, 2, 3)}
+    floor = 15 * SCALE // 100
+    for _ in range(6):
+        inc = {n: 0 for n in (1, 2, 3)}
+        for s, d in edge_list:
+            inc[d] += m[s] // outdeg[s]
+        m = {n: floor + (85 * inc[n]) // 100 for n in (1, 2, 3)}
+    assert out == m
