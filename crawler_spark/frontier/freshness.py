@@ -61,7 +61,11 @@ def recrawl_schedule(
     """
     per_url = fetch_log.groupBy(url_col).agg(
         F.count("*").cast("long").alias("n_fetches"),
-        F.sum(changed_pred.cast("long")).cast("long").alias("n_changes"),
+        # NULL observation = not changed (coalesce BEFORE the sum — a
+        # bare sum would skip NULLs and, on an all-NULL URL, go NULL
+        # itself instead of 0)
+        F.sum(F.coalesce(changed_pred.cast("long"), F.lit(0)))
+        .cast("long").alias("n_changes"),
         F.max(F.col(ts_col)).alias("last_fetch"),
     )
     tier_col: Column = F.lit(tiers[-1][0])

@@ -239,3 +239,19 @@ def test_link_mass_rank_long_chain_checkpoints(spark):
             inc[d] += m[s] // outdeg[s]
         m = {n: floor + (85 * inc[n]) // 100 for n in (1, 2, 3)}
     assert out == m
+
+
+def test_recrawl_null_observation_is_not_changed(spark):
+    import datetime as _dt
+
+    log = spark.createDataFrame(
+        [("u", _dt.datetime(2024, 1, 1), None),
+         ("u", _dt.datetime(2024, 1, 2), True),
+         ("v", _dt.datetime(2024, 1, 1), None)],
+        "url string, ts timestamp, changed boolean",
+    )
+    out = {r["url"]: r for r in recrawl_schedule(
+        log, "url", "ts", F.col("changed")).collect()}
+    assert out["u"]["n_changes"] == 1          # NULL skipped, not NULL-sum
+    assert out["v"]["n_changes"] == 0          # all-NULL URL -> 0, not NULL
+    assert out["v"]["tier"] == "cold"
