@@ -1229,3 +1229,77 @@ def near_dup_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_intersect") * 100 >= F.col("n_union") * 97)
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH operating point: ONE row of integer counts quantifying the
+# candidate generator against brute-force truth on a bounded slice
+# (doc_id < 200 keeps the quadratic truth oracle-computable, the
+# ngram_jaccard_pairs pattern).  n_true = pairs with shingle-Jaccard
+# >= 1/2; n_candidates = banded-LSH candidate pairs on the slice;
+# n_hits = their intersection.  Recall = n_hits/n_true and precision =
+# n_hits/n_candidates stay caller-side divisions — the driver-checked
+# artifact is the exact integer triple.  The production observability
+# hook for tuning (k, band_size) per corpus, same spirit as
+# robots.fast_path_guard_rate.
+# ---------------------------------------------------------------------------
+
+_SLICE_LSH_SQL = _LSH_ORACLE.replace(
+    "FROM documents", "FROM (SELECT * FROM documents WHERE doc_id < 200)")
+
+_SLICE_TRUTH_SQL = """
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(l) - 1),
+                         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS l
+          FROM documents WHERE doc_id < 200)
+    WHERE len(l) >= 3
+  ) a JOIN (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(l) - 1),
+                         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS l
+          FROM documents WHERE doc_id < 200)
+    WHERE len(l) >= 3
+  ) b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 2
+        >= len(list_distinct(list_concat(a.s, b.s)))
+"""
+
+
+@register(
+    "lsh_operating_point",
+    oracle="""
+    WITH cand AS ({cand}), truth AS ({truth})
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM cand c
+                 JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b)
+                AS BIGINT) AS n_hits
+    """.format(cand=_SLICE_LSH_SQL, truth=_SLICE_TRUTH_SQL),
+)
+def lsh_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    cand = DD.minhash_lsh_candidates(d, "doc_id", "text", k=6, band_size=2)
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(DD.word_shingles(F.col("text"), 3)).alias("s"),
+    ).where(F.size("s") >= 1)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    ni = F.size(F.array_intersect("sa", "sb"))
+    nu = F.size(F.array_distinct(F.concat("sa", "sb")))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(ni * 2 >= nu)
+        .select("id_a", "id_b")
+    )
+    hits = cand.join(truth, ["id_a", "id_b"])
+    return (
+        truth.agg(F.count("*").cast("long").alias("n_true"))
+        .crossJoin(cand.agg(
+            F.count("*").cast("long").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").cast("long").alias("n_hits")))
+    )

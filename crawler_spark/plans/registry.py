@@ -161,6 +161,7 @@ DRIVER_TAIL_NEW = [
     "html_to_text",           # visible-text / boilerplate removal
     "anchor_text_agg",        # per-target anchor-text ranking signal
     "linkmass_frontier_order",  # E2/E4 per-host order with mass boost
+    "lsh_operating_point",    # recall/precision integer triple vs truth
 ]
 
 
