@@ -67,3 +67,24 @@ def read_seed_files(
     else:
         raise ValueError(f"unknown seed format {fmt!r}")
     return urls.where(F.col("url").isNotNull()).dropDuplicates(["url"])
+
+
+def seeds_from_sitemaps(robots_bodies: DataFrame,
+                        txt_col: str = "robots_txt") -> DataFrame:
+    """Sitemap URLs discovered in robots.txt bodies, normalized to the
+    same deduplicated ``(url string)`` seed shape as every other source
+    — union with ``read_seed_files`` output and feed ``enqueue``.  The
+    standard crawl bootstrap: fetch robots first, seed the frontier
+    with the sitemaps it advertises (functions/robots.py::
+    extract_sitemaps does the extraction natively)."""
+    from ..functions.robots import extract_sitemaps
+
+    if "host_id" not in robots_bodies.columns:
+        robots_bodies = robots_bodies.withColumn(
+            "host_id", F.monotonically_increasing_id())
+    return (
+        extract_sitemaps(robots_bodies, "host_id", txt_col)
+        .select(F.trim(F.col("sitemap_url")).alias("url"))
+        .where(F.col("url") != "")
+        .distinct()
+    )

@@ -73,3 +73,17 @@ def test_file_fed_crawl_equals_synthetic(spark, tmp_path, seed_urls):
     rows = lambda st: sorted(  # noqa: E731
         map(tuple, st.read_deltas("fetch_log").collect()))
     assert rows(a) == rows(b)
+
+
+def test_seeds_from_sitemaps_shape(spark):
+    from crawler_spark.sources.seeds import seeds_from_sitemaps
+
+    bodies = spark.createDataFrame(
+        [("User-agent: *\nSitemap: https://a/s.xml\n"
+          "Sitemap: https://a/s.xml\n",),   # in-file dupe collapses
+         ("Sitemap: https://b/x.xml\n",),
+         ("Disallow: /\n",)],
+        "robots_txt string",
+    )
+    out = sorted(r["url"] for r in seeds_from_sitemaps(bodies).collect())
+    assert out == ["https://a/s.xml", "https://b/x.xml"]
