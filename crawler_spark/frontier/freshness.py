@@ -86,3 +86,26 @@ def recrawl_schedule(
         .select(url_col, "n_fetches", "n_changes", "tier",
                 "revisit_hours", "next_due")
     )
+
+
+def due_filter(
+    frontier: DataFrame,
+    schedule: DataFrame,
+    url_col: str,
+    now,
+) -> DataFrame:
+    """Re-crawl eligibility gate: keep frontier rows whose URL is due at
+    ``now`` (next_due <= now) — or has no schedule yet (never fetched =
+    always eligible).  A left join on the url key + one filter: the same
+    broadcast/bucketed seam as the robots gate, so it composes with
+    enqueue/schedule_batch without a new shuffle shape.  ``now`` is a
+    datetime or ISO string, compared exactly (integer microseconds)."""
+    sched = schedule.select(
+        F.col(url_col).alias("__u"), F.col("next_due").alias("__due"))
+    return (
+        frontier.join(
+            sched, frontier[url_col] == sched["__u"], "left")
+        .where(F.col("__due").isNull()
+               | (F.col("__due") <= F.lit(now).cast("timestamp")))
+        .drop("__u", "__due")
+    )

@@ -255,3 +255,26 @@ def test_recrawl_null_observation_is_not_changed(spark):
     assert out["u"]["n_changes"] == 1          # NULL skipped, not NULL-sum
     assert out["v"]["n_changes"] == 0          # all-NULL URL -> 0, not NULL
     assert out["v"]["tier"] == "cold"
+
+
+def test_due_filter_gates_frontier(spark):
+    import datetime as _dt
+
+    from crawler_spark.frontier.freshness import due_filter
+
+    log = _log(spark, [
+        ("hot.example", 0, True),    # hot -> due at 00:00 + 6h
+        ("cold.example", 0, False),  # cold -> due at 00:00 + 72h
+    ])
+    sched = recrawl_schedule(log, "url", "ts", F.col("changed"))
+    frontier = spark.createDataFrame(
+        [("hot.example",), ("cold.example",), ("new.example",)],
+        "url string")
+    # at +7h: hot is due, cold is not, never-fetched is always eligible
+    kept = sorted(r["url"] for r in due_filter(
+        frontier, sched, "url", _dt.datetime(2024, 1, 1, 7)).collect())
+    assert kept == ["hot.example", "new.example"]
+    # at +73h everything is due
+    kept2 = sorted(r["url"] for r in due_filter(
+        frontier, sched, "url", _dt.datetime(2024, 1, 4, 1)).collect())
+    assert kept2 == ["cold.example", "hot.example", "new.example"]
