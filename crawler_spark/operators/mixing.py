@@ -45,6 +45,13 @@ def quota_cap(
     # column expression would be ideal; hashing all input columns via
     # xxhash64 on the row's unique tiebreak keeps salting stable across
     # repartitions. Callers pass the unique id last in order_cols.
+    r = str(order_cols[-1])  # SortOrder reprs as Column<'x ASC NULLS FIRST'>
+    if " ASC NULLS " in r or " DESC NULLS " in r:
+        raise ValueError(
+            "quota_cap's LAST order column is hashed for the salt and "
+            "must be a plain Column (the unique id), not a "
+            ".asc()/.desc() SortOrder — ascending is implied; earlier "
+            "columns may carry sort direction freely")
     salt = F.pmod(F.xxhash64(order_cols[-1].cast("string")),
                   F.lit(salt_buckets))
     w_local = W.partitionBy(key_col, "__salt").orderBy(*order_cols)

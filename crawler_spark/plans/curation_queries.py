@@ -364,9 +364,7 @@ def cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dsir_importance",
-    oracle="""
+_DSIR_WEIGHTS_SQL = """
     WITH toks AS (
       SELECT doc_id, lang,
              unnest(list_distinct(list_filter(
@@ -387,10 +385,72 @@ def cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(s.raw_cnt) AS BIGINT) AS imp_den
     FROM bucketed t JOIN stats s USING (b)
     GROUP BY t.doc_id
-    """,
+"""
+
+
+@register(
+    "dsir_importance",
+    oracle=_DSIR_WEIGHTS_SQL,
 )
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.importance import importance_weights
 
     d = load_table(spark, sf_dir, "documents")
     return importance_weights(d, "doc_id", "text", F.col("lang") == "fr")
+
+
+# ---------------------------------------------------------------------------
+# DSIR selection (the step after the weights): real DSIR keeps the
+# top-eta most target-like documents, so selection is a TOP-K by
+# affinity, not an absolute cut (the synthetic corpus's affinity ratios
+# shift with SF — an absolute threshold keeps everything at one SF and
+# nothing at another, which is exactly why quantile selection is the
+# standard).  Affinity is quantized engine-exactly (num * 10^12 div den
+# — integral, monotone in the true ratio; doc_id breaks ties), the
+# global top-100 runs through the salted two-phase quota_cap with a
+# constant key (never a single-partition window), and a deterministic
+# hash-threshold half of the winners is the sampled budget.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dsir_resample",
+    oracle="""
+    WITH w AS ({weights}),
+    scored AS (
+      SELECT doc_id, n_tokens, imp_num, imp_den,
+             CAST((imp_num * 1000000000000) // imp_den AS BIGINT) AS affinity
+      FROM w
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY affinity DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, imp_num, imp_den, affinity
+    FROM ranked
+    WHERE rn <= 100 AND {prefix} < '80000000'
+    """.format(
+        weights=_DSIR_WEIGHTS_SQL,
+        prefix=oracle_hash_prefix_sql("doc_id", "dsir0"),
+    ),
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.importance import importance_weights
+    from ..operators.mixing import quota_cap
+    from ..operators.sampling import hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    w = importance_weights(d, "doc_id", "text", F.col("lang") == "fr")
+    scored = w.withColumn(
+        "affinity",
+        F.expr("imp_num * 1000000000000 div imp_den").cast("long"))
+    # plain columns only (quota_cap salts on the last order column, so
+    # SortOrder wrappers are out of contract): descending affinity =
+    # ascending negated affinity; doc_id last as the unique tiebreak
+    top = quota_cap(
+        scored.withColumn("__all", F.lit(1)),
+        "__all",
+        [F.col("affinity") * -1, F.col("doc_id")],
+        cap=100,
+    ).drop("__all", "quota_rank")
+    return hash_sample(top, "doc_id", 0.5, seed="dsir0")

@@ -162,6 +162,7 @@ DRIVER_TAIL_NEW = [
     "anchor_text_agg",        # per-target anchor-text ranking signal
     "linkmass_frontier_order",  # E2/E4 per-host order with mass boost
     "lsh_operating_point",    # recall/precision integer triple vs truth
+    "dsir_resample",          # DSIR selection: gate + budget sample
 ]
 
 

@@ -104,3 +104,22 @@ def test_kmeans_assign_matches_bruteforce(spark):
         order_hash=lambda c: F.md5(c.cast("string")),
     )
     assert np.array_equal(cent, cent2)
+
+
+def test_quota_cap_rejects_sortorder_columns(spark):
+    """A SortOrder as the LAST order column would reach the salt hash
+    and die deep in codegen ([INTERNAL_ERROR] Cannot generate code) —
+    the guard turns it into a contract error at plan-build time.
+    Earlier columns may carry .desc() freely (the equality test does)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.mixing import quota_cap
+
+    df = spark.range(10).select(
+        F.lit(1).alias("k"), F.col("id"), (F.col("id") * 7 % 5).alias("q"))
+    with pytest.raises(ValueError, match="plain Column"):
+        quota_cap(df, "k", [F.col("q").desc(), F.col("id").asc()], cap=3)
+    # non-last SortOrder stays legal
+    assert quota_cap(
+        df, "k", [F.col("q").desc(), F.col("id")], cap=3).count() == 3
